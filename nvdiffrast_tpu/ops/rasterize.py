@@ -568,7 +568,6 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
         tv = pos[tri]  # [T, 3, 4]
 
     sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
-    ecoef = _edge_coeffs(sub)  # [.., T, 2, 3, 3]
     zc, wc = _plane_coeffs(tv)  # parent plane, [.., T, 3]
 
     # Flatten the 2 subtriangle slots into the scan axis.
@@ -580,25 +579,39 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
     tri_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), 2)
 
     if instance_mode:
-        ecoef_f = flat2(ecoef, 1)  # [B, 2T, 3, 3]
+        sub_f = flat2(sub, 1)  # [B, 2T, 3, 4]
         zc_f = jnp.repeat(zc, 2, axis=1)
         wc_f = jnp.repeat(wc, 2, axis=1)
-        valid_f = flat2(svalid, 1)  # [B, 2T]
+        sval_f = flat2(svalid, 1)  # [B, 2T]
+        valid_f = sval_f
     else:
-        ecoef_f = flat2(ecoef, 0)  # [2T, 3, 3]
+        sub_f = flat2(sub, 0)  # [2T, 3, 4]
         zc_f = jnp.repeat(zc, 2, axis=0)
         wc_f = jnp.repeat(wc, 2, axis=0)
-        sval = flat2(svalid, 0)  # [2T]
+        sval_f = flat2(svalid, 0)  # [2T]
         # Range mode: triangle t live for image b iff start <= t < start+count.
         start = ranges[:, 0:1]
         count = ranges[:, 1:2]
         t_ar = jnp.arange(T, dtype=jnp.int32)[None, :]
         rmask = (t_ar >= start) & (t_ar < start + count)  # [B, T]
-        valid_f = sval[None, :] & jnp.repeat(rmask, 2, axis=1)
+        valid_f = sval_f[None, :] & jnp.repeat(rmask, 2, axis=1)
 
-    idbuf, zbuf = _coverage_xla(
-        ecoef_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
-        peel_depth=peel_depth, chunk=chunk)
+    use_pallas = (
+        impl in ("pallas", "pallas_interpret")
+        or (impl == "auto" and jax.default_backend() == "tpu"))
+    use_pallas &= peel_depth is None and T < (1 << 24)
+
+    if use_pallas:
+        from .rasterize_pallas import coverage_pallas
+
+        idbuf, zbuf = coverage_pallas(
+            sub_f, sval_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
+            interpret=(impl == "pallas_interpret"))
+    else:
+        ecoef_f = _edge_coeffs(sub_f)
+        idbuf, zbuf = _coverage_xla(
+            ecoef_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
+            peel_depth=peel_depth, chunk=chunk)
 
     out, out_db = _shade(pos, tri, idbuf, resolution, instance_mode)
     return out, out_db, zbuf

@@ -3,13 +3,22 @@
 Multi-chip sharding tests use a fake 8-device CPU mesh, substituting
 for real TPU pod slices (the strategy the reference lacks entirely —
 it has no tests at all, see SURVEY.md section 4).
+
+Note: this environment's site customization force-selects the TPU
+platform via JAX_PLATFORMS and may import jax before us, so the env
+var alone is not enough — we also update the jax config directly.
 """
 
 import os
+import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+_flag = "--xla_force_host_platform_device_count=8"
+if _flag not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _flag).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -133,24 +133,40 @@ def test_near_clip_subtris():
     assert not bool(valid[0, 0]) and not bool(valid[0, 1])
 
 
-def test_grad_matches_finite_difference_perspective():
-    # w-gradients are free of coverage discontinuities for this setup.
+def test_grad_matches_finite_difference_interior():
+    # Point-sampled coverage makes raw finite differences noisy; mask
+    # the loss to interior pixels (eroded coverage held fixed) so only
+    # the smooth barycentric dependence remains — then the analytic
+    # gradient must match FD for ALL of x, y, w.
     pos, tri = _tri_setup()
     col = jnp.array([[[1., 0., 0.], [0., 1., 0.], [0., 0., 1.]]], jnp.float32)
+
+    r0, _ = dr.rasterize(None, pos, tri, (48, 48))
+    cov = np.asarray(r0[..., 3] > 0)[0]
+    er = cov.copy()
+    for s in (1, -1):
+        er &= np.roll(cov, s, axis=0) & np.roll(cov, s, axis=1)
+        er &= np.roll(np.roll(cov, s, axis=0), s, axis=1)
+        er &= np.roll(np.roll(cov, s, axis=0), -s, axis=1)
+    er &= np.roll(cov, 2, axis=0) & np.roll(cov, -2, axis=0)
+    er &= np.roll(cov, 2, axis=1) & np.roll(cov, -2, axis=1)
+    mask = jnp.asarray(er[None, :, :, None], jnp.float32)
 
     def loss(p):
         r, _ = dr.rasterize(None, p, tri, (48, 48))
         o, _ = dr.interpolate(col, r, tri)
-        return jnp.sum(o ** 2) * 1e-2
+        return jnp.sum((o * mask) ** 2) * 1e-2
 
     g = jax.grad(loss)(pos)
     eps = 1e-3
     for vi in range(3):
-        pp = pos.at[0, vi, 3].add(eps)
-        pm = pos.at[0, vi, 3].add(-eps)
-        fd = (loss(pp) - loss(pm)) / (2 * eps)
-        np.testing.assert_allclose(np.asarray(g[0, vi, 3]), float(fd),
-                                   rtol=0.02, atol=1e-4)
+        for ci in (0, 1, 3):
+            pp = pos.at[0, vi, ci].add(eps)
+            pm = pos.at[0, vi, ci].add(-eps)
+            fd = (loss(pp) - loss(pm)) / (2 * eps)
+            np.testing.assert_allclose(
+                np.asarray(g[0, vi, ci]), float(fd), rtol=0.03, atol=1e-4,
+                err_msg=f"vertex {vi} coord {ci}")
 
 
 def test_grad_db_flag():
@@ -207,4 +223,5 @@ def test_jit_compatible():
 
     r, db = f(pos)
     r2, db2 = dr.rasterize(None, pos, tri, (32, 32))
-    np.testing.assert_array_equal(np.asarray(r), np.asarray(r2))
+    # jit and eager may fuse differently -> tiny float differences.
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r2), atol=1e-6)
