@@ -5,20 +5,29 @@ csrc/common/interpolate.cu:15-126 (out = b0*a0 + b1*a1 + (1-b0-b1)*a2,
 zeroed where no triangle; optional image-space attribute derivatives
 via the chain rule through rast_db).
 
-No hand-written backward is needed on TPU: the reference backward
-(csrc/common/interpolate.cu:131-274) is exactly the analytic VJP of
-this forward — attribute gradients become a deterministic XLA
-scatter-add (vs. nondeterministic float atomics on GPU), bary
-gradients land in rast channels 0-1 with channels 2-3 zero, and the
-rast_db gradients fall out of the same chain rule. JAX AD reproduces
-all of it.
+TPU-shaped data flow (same design as the rasterize backward):
+
+* per-pixel state is flat [N] / [N, K] SoA — no tiny trailing dims, so
+  no (8, 128) tile-padding blowups;
+* the three vertex attribute rows per pixel come from ONE row-gather
+  of a per-triangle table [T(+1), 3A] (dummy zero row for empty
+  pixels), built with a cheap [T]-sized gather from the attribute
+  tensor — never a per-pixel vertex-index gather;
+* the backward (re-derivation of interpolate.cu:131-274) is a
+  hand-written custom_vjp: attribute gradients reduce pixels ->
+  triangle table on the MXU (one-hot matmul, deterministic f32) then
+  triangle -> vertex with a tiny scatter; bary gradients land in rast
+  channels 0-1 with channels 2-3 zero, matching the reference.
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import coord
+from .scatter import scatter_add_by_id
 
 # Maximum number of differentiable attributes (reference:
 # csrc/common/interpolate.h:18). We impose no hard limit on TPU but
@@ -26,16 +35,188 @@ from . import coord
 MAX_DIFF_ATTRS = 32
 
 
-def _gather_vertex_attrs(attr, vidx, instance_mode, attr_bc):
-    """Gather the three vertex attribute rows per pixel.
+def _int_zero_ct(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
-    attr: [V, A] (range mode) or [B|1, V, A] (instance mode).
-    vidx: [B, H, W, 3] vertex indices.
+
+def _pixel_tables(attr, rast, tri, instance_mode, attr_bc):
+    """Shared fwd/bwd plumbing: flat ids + gathered attr table rows.
+
+    Returns (rid [N], g3 [N, 3A], b0, b1, b2 [N], valid [N], meta).
+    meta = (B, H, W, A, R, T).
     """
+    B, H, W, _ = rast.shape
+    T = tri.shape[0]
+    A = attr.shape[-1]
+    N = B * H * W
+
+    # Per-triangle attribute table [(B*)T, 3A] + dummy zero row.
     if instance_mode and not attr_bc:
-        return jax.vmap(lambda ab, vb: ab[vb])(attr, vidx)  # [B, H, W, 3, A]
-    a2d = attr[0] if instance_mode else attr
-    return a2d[vidx]  # [B, H, W, 3, A]
+        att = attr[:, tri]  # [B, T, 3, A]
+    else:
+        a2d = attr[0] if instance_mode else attr
+        att = a2d[tri]  # [T, 3, A]
+    tbl = att.reshape(-1, 3 * A)
+    R = tbl.shape[0]
+    tbl = jnp.concatenate([tbl, jnp.zeros((1, 3 * A), jnp.float32)], axis=0)
+
+    idbuf = coord.float_to_triidx(rast[..., 3]).reshape(N) - 1
+    valid = (idbuf >= 0) & (idbuf < T)
+    tid = jnp.where(valid, idbuf, 0)
+    if instance_mode and not attr_bc:
+        boff = (jnp.arange(N, dtype=jnp.int32) // (H * W)) * T
+        rid = jnp.where(valid, tid + boff, R)
+    else:
+        rid = jnp.where(valid, tid, R)
+
+    g3 = tbl[rid]  # [N, 3A]
+
+    r2 = rast.reshape(N, 4)
+    b0 = jnp.where(valid, r2[:, 0], 0.0)
+    b1 = jnp.where(valid, r2[:, 1], 0.0)
+    b2 = jnp.where(valid, 1.0 - r2[:, 0] - r2[:, 1], 0.0)
+    return rid, g3, b0, b1, b2, valid, (B, H, W, A, R, T)
+
+
+def _interp_fwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
+                     attr_bc):
+    rid, g3, b0, b1, b2, valid, meta = _pixel_tables(
+        attr, rast, tri, instance_mode, attr_bc)
+    B, H, W, A, R, T = meta
+    N = B * H * W
+
+    a0 = g3[:, :A]
+    a1 = g3[:, A:2 * A]
+    a2 = g3[:, 2 * A:]
+    out = b0[:, None] * a0 + b1[:, None] * a1 + b2[:, None] * a2
+
+    D = len(diff_list)
+    if D == 0:
+        return (out.reshape(B, H, W, A),
+                jnp.zeros((B, H, W, 0), jnp.float32))
+
+    sel = jnp.asarray(diff_list, jnp.int32)
+    s0 = a0[:, sel]
+    s1 = a1[:, sel]
+    s2 = a2[:, sel]
+    db = rast_db.reshape(N, 4)
+    vm = valid[:, None]
+    dudx = jnp.where(vm, db[:, 0:1], 0.0)
+    dudy = jnp.where(vm, db[:, 1:2], 0.0)
+    dvdx = jnp.where(vm, db[:, 2:3], 0.0)
+    dvdy = jnp.where(vm, db[:, 3:4], 0.0)
+    dsdu = s0 - s2
+    dsdv = s1 - s2
+    dsdx = dudx * dsdu + dvdx * dsdv
+    dsdy = dudy * dsdu + dvdy * dsdv
+    out_da = jnp.stack([dsdx, dsdy], axis=-1).reshape(B, H, W, 2 * D)
+    return out.reshape(B, H, W, A), out_da
+
+
+def _interp_bwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
+                     attr_bc, gy, gda):
+    """Re-derivation of InterpolateGradKernel[Da] (interpolate.cu:131-274)."""
+    rid, g3, b0, b1, b2, valid, meta = _pixel_tables(
+        attr, rast, tri, instance_mode, attr_bc)
+    B, H, W, A, R, T = meta
+    N = B * H * W
+    D = len(diff_list)
+
+    a0 = g3[:, :A]
+    a1 = g3[:, A:2 * A]
+    a2 = g3[:, 2 * A:]
+    gy2 = gy.reshape(N, A)
+
+    # Bary gradients -> rast channels 0-1 (channels 2-3 stay zero).
+    gb0 = jnp.sum(gy2 * (a0 - a2), axis=-1)
+    gb1 = jnp.sum(gy2 * (a1 - a2), axis=-1)
+    zeros = jnp.zeros_like(gb0)
+    g_rast = jnp.stack([gb0, gb1, zeros, zeros],
+                       axis=-1).reshape(B, H, W, 4)
+
+    # Attribute gradients, level 1: pixels -> triangle rows.
+    ga0 = b0[:, None] * gy2
+    ga1 = b1[:, None] * gy2
+    ga2 = b2[:, None] * gy2
+
+    g_rast_db = None
+    if D > 0:
+        sel = jnp.asarray(diff_list, jnp.int32)
+        s0 = a0[:, sel]
+        s1 = a1[:, sel]
+        s2 = a2[:, sel]
+        db = rast_db.reshape(N, 4)
+        vm = valid[:, None]
+        dudx = jnp.where(vm, db[:, 0:1], 0.0)
+        dudy = jnp.where(vm, db[:, 1:2], 0.0)
+        dvdx = jnp.where(vm, db[:, 2:3], 0.0)
+        dvdy = jnp.where(vm, db[:, 3:4], 0.0)
+
+        gda2 = gda.reshape(N, D, 2)
+        gdax = gda2[..., 0]  # [N, D]
+        gday = gda2[..., 1]
+
+        # d(out_da)/d(attr): s0 gets du terms, s1 dv terms, s2 minus both.
+        c0 = dudx * gdax + dudy * gday  # [N, D]
+        c1 = dvdx * gdax + dvdy * gday
+        ga0 = ga0.at[:, sel].add(c0)
+        ga1 = ga1.at[:, sel].add(c1)
+        ga2 = ga2.at[:, sel].add(-c0 - c1)
+
+        # d(out_da)/d(rast_db).
+        dsdu = s0 - s2
+        dsdv = s1 - s2
+        g_rast_db = jnp.stack([
+            jnp.sum(gdax * dsdu, axis=-1),
+            jnp.sum(gday * dsdu, axis=-1),
+            jnp.sum(gdax * dsdv, axis=-1),
+            jnp.sum(gday * dsdv, axis=-1),
+        ], axis=-1)
+        g_rast_db = jnp.where(valid[:, None], g_rast_db, 0.0)
+        g_rast_db = g_rast_db.reshape(B, H, W, 4)
+
+    gval = jnp.concatenate([ga0, ga1, ga2], axis=-1)  # [N, 3A]
+    gval = jnp.where(valid[:, None], gval, 0.0)
+    gt = scatter_add_by_id(rid, gval, R)  # [(B*)T, 3A]
+
+    # Level 2: triangle rows -> vertex attribute gradients.
+    gt = gt.reshape(-1, T, 3, A)
+    if instance_mode and not attr_bc:
+        g_attr = jnp.zeros(attr.shape, jnp.float32)
+        g_attr = g_attr.at[:, tri].add(gt, mode="drop")
+    else:
+        Va = attr.shape[-2]
+        g2 = jnp.zeros((Va, A), jnp.float32).at[tri].add(gt[0], mode="drop")
+        g_attr = g2[None] if instance_mode else g2
+
+    return g_attr, g_rast, g_rast_db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _interpolate_prim(attr, rast, rast_db, tri, diff_list, instance_mode,
+                      attr_bc):
+    return _interp_fwd_core(attr, rast, rast_db, tri, diff_list,
+                            instance_mode, attr_bc)
+
+
+def _interpolate_prim_fwd(attr, rast, rast_db, tri, diff_list, instance_mode,
+                          attr_bc):
+    outs = _interp_fwd_core(attr, rast, rast_db, tri, diff_list,
+                            instance_mode, attr_bc)
+    return outs, (attr, rast, rast_db, tri)
+
+
+def _interpolate_prim_bwd(diff_list, instance_mode, attr_bc, res, cts):
+    attr, rast, rast_db, tri = res
+    gy, gda = cts
+    g_attr, g_rast, g_rast_db = _interp_bwd_core(
+        attr, rast, rast_db, tri, diff_list, instance_mode, attr_bc, gy, gda)
+    if g_rast_db is None:
+        g_rast_db = jnp.zeros_like(rast_db)
+    return (g_attr, g_rast, g_rast_db, _int_zero_ct(tri))
+
+
+_interpolate_prim.defvjp(_interpolate_prim_fwd, _interpolate_prim_bwd)
 
 
 def interpolate(attr, rast, tri, rast_db=None, diff_attrs=None):
@@ -77,55 +258,25 @@ def interpolate(attr, rast, tri, rast_db=None, diff_attrs=None):
 
     instance_mode = attr.ndim == 3
     A = attr.shape[-1]
-    B, H, W, _ = rast.shape
+    B = rast.shape[0]
     attr_bc = instance_mode and attr.shape[0] == 1
 
     if diff_attrs == "all":
-        diff_list = list(range(A))
+        diff_list = tuple(range(A))
     else:
         # Python-style negative indices (reference: interpolate.cu:101-103).
-        diff_list = [int(j) + (A if int(j) < 0 else 0) for j in diff_attrs]
+        diff_list = tuple(int(j) + (A if int(j) < 0 else 0)
+                          for j in diff_attrs)
         for j in diff_list:
             if not 0 <= j < A:
                 raise ValueError(f"diff_attrs index out of range: {j}")
-    enable_da = len(diff_list) > 0
-    if enable_da and rast_db is None:
+    if len(diff_list) > 0 and rast_db is None:
         raise ValueError("diff_attrs requires rast_db")
 
-    tidx = coord.float_to_triidx(rast[..., 3]) - 1
-    valid = tidx >= 0
-    tid = jnp.where(valid, tidx, 0)
-    vidx = tri[tid]  # [B, H, W, 3]
+    if rast_db is None:
+        rast_db = jnp.zeros((B, rast.shape[1], rast.shape[2], 4), jnp.float32)
+    else:
+        rast_db = jnp.asarray(rast_db, jnp.float32)
 
-    a = _gather_vertex_attrs(attr, vidx, instance_mode, attr_bc)
-    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
-
-    # Barys; force zero where no triangle -> zero output.
-    b0 = jnp.where(valid, rast[..., 0], 0.0)[..., None]
-    b1 = jnp.where(valid, rast[..., 1], 0.0)[..., None]
-    b2 = jnp.where(valid, 1.0 - rast[..., 0] - rast[..., 1], 0.0)[..., None]
-
-    out = b0 * a0 + b1 * a1 + b2 * a2
-
-    if not enable_da:
-        return out, jnp.zeros((B, H, W, 0), jnp.float32)
-
-    rast_db = jnp.asarray(rast_db, jnp.float32)
-    db = jnp.where(valid[..., None], rast_db, 0.0)
-    dudx = db[..., 0:1]
-    dudy = db[..., 1:2]
-    dvdx = db[..., 2:3]
-    dvdy = db[..., 3:4]
-
-    sel = jnp.asarray(diff_list, jnp.int32)
-    s0 = a0[..., sel]
-    s1 = a1[..., sel]
-    s2 = a2[..., sel]
-    dsdu = s0 - s2
-    dsdv = s1 - s2
-    dsdx = dudx * dsdu + dvdx * dsdv
-    dsdy = dudy * dsdu + dvdy * dsdv
-
-    # Interleave as (dA/dX, dA/dY) per selected attribute.
-    out_da = jnp.stack([dsdx, dsdy], axis=-1).reshape(B, H, W, 2 * len(diff_list))
-    return out, out_da
+    return _interpolate_prim(attr, rast, rast_db, tri, diff_list,
+                             bool(instance_mode), bool(attr_bc))

@@ -407,34 +407,63 @@ def _shade(pos, tri, idbuf, resolution, instance_mode):
 
 def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
                         enable_db):
+    """Vertex position gradients (re-derivation of rasterize.cu:119-273).
+
+    TPU-shaped data flow: per-pixel state lives in flat [N] SoA vectors
+    (no tiny trailing dims -> no tile-padding blowups), the per-triangle
+    vertex data is one row-gather from a [T(+1), 9] table, and the
+    pixel->vertex reduction is a two-level deterministic scatter
+    (pixels -> triangle table on the MXU, then triangles -> vertices).
+    """
+    from .scatter import scatter_add_by_id
+
     H, W = resolution
-    B, _, _, _ = out.shape
+    B = out.shape[0]
+    T = tri.shape[0]
     if instance_mode:
         V = pos.shape[1]
     else:
         V = pos.shape[0]
+    N = B * H * W
 
-    idbuf = coord.float_to_triidx(out[..., 3]) - 1
+    # Per-triangle vertex table: (x, y, w) x 3 vertices.
+    if instance_mode:
+        tv = pos[:, tri]  # [B, T, 3, 4]
+    else:
+        tv = pos[tri]  # [T, 3, 4]
+    tbl = tv[..., jnp.array([0, 1, 3])].reshape(-1, 9)  # [(B*)T, 9]
+    R = tbl.shape[0]
+    tbl = jnp.concatenate([tbl, jnp.zeros((1, 9), jnp.float32)], axis=0)
+
+    idbuf = coord.float_to_triidx(out[..., 3]).reshape(N) - 1
     valid = idbuf >= 0
     tid = jnp.where(valid, idbuf, 0)
-
-    vidx = tri[tid]  # [B, H, W, 3]
     if instance_mode:
-        p = jax.vmap(lambda pb, vb: pb[vb])(pos, vidx)
+        boff = (jnp.arange(N, dtype=jnp.int32) // (H * W)) * T
+        rid = jnp.where(valid, tid + boff, R)
     else:
-        p = pos[vidx]
-    p0, p1, p2 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+        rid = jnp.where(valid, tid, R)
 
-    fx, fy = coord.pixel_centers(H, W)
-    fx = fx[None, None, :]
-    fy = fy[None, :, None]
+    g9 = tbl[rid]  # [N, 9]
 
-    p0x = p0[..., 0] - fx * p0[..., 3]
-    p0y = p0[..., 1] - fy * p0[..., 3]
-    p1x = p1[..., 0] - fx * p1[..., 3]
-    p1y = p1[..., 1] - fy * p1[..., 3]
-    p2x = p2[..., 0] - fx * p2[..., 3]
-    p2y = p2[..., 1] - fy * p2[..., 3]
+    def vcol(i):
+        return g9[:, i]
+
+    x0, y0, w0 = vcol(0), vcol(1), vcol(2)
+    x1, y1, w1 = vcol(3), vcol(4), vcol(5)
+    x2, y2, w2 = vcol(6), vcol(7), vcol(8)
+
+    xs, xo, ys, yo = coord.pixel_scale_offset(H, W)
+    pix = jnp.arange(N, dtype=jnp.int32)
+    fx = (pix % W).astype(jnp.float32) * xs + xo
+    fy = ((pix // W) % H).astype(jnp.float32) * ys + yo
+
+    p0x = x0 - fx * w0
+    p0y = y0 - fy * w0
+    p1x = x1 - fx * w1
+    p1y = y1 - fy * w1
+    p2x = x2 - fx * w2
+    p2y = y2 - fy * w2
 
     a0 = p1x * p2y - p1y * p2x
     a1 = p2x * p0y - p2y * p0x
@@ -448,8 +477,9 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     b0 = a0 * iw
     b1 = a1 * iw
 
-    dyx = dy[..., 0]
-    dyy = dy[..., 1]
+    dy2 = dy.reshape(N, 4)
+    dyx = dy2[:, 0]
+    dyy = dy2[:, 1]
 
     gb0 = dyx * iw
     gb1 = dyy * iw
@@ -465,17 +495,14 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     gp2w = -fx * gp2x - fy * gp2y
 
     if enable_db:
-        d0, d1, d2, d3 = ddb[..., 0], ddb[..., 1], ddb[..., 2], ddb[..., 3]
+        ddb2 = ddb.reshape(N, 4)
+        d0, d1, d2, d3 = ddb2[:, 0], ddb2[:, 1], ddb2[:, 2], ddb2[:, 3]
         dfxdX = (2.0 / W) * iw
         dfydY = (2.0 / H) * iw
         d0 = d0 * dfxdX
         d1 = d1 * dfydY
         d2 = d2 * dfxdX
         d3 = d3 * dfydY
-
-        x0, y0, w0 = p0[..., 0], p0[..., 1], p0[..., 3]
-        x1, y1, w1 = p1[..., 0], p1[..., 1], p1[..., 3]
-        x2, y2, w2 = p2[..., 0], p2[..., 1], p2[..., 3]
 
         da0dX = y1 * w2 - y2 * w1
         da1dX = y2 * w0 - y0 * w2
@@ -523,30 +550,29 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
         gp2w = (gp2w + cy * x01 - cx * y01 - cxy * a0p2 - czw * a1p2
                 + d0 * y1 - d1 * x1 - d2 * y0 + d3 * x0)
 
-    # Assemble per-pixel per-vertex gradients: (x, y, 0, w).
-    zeros = jnp.zeros_like(gp0x)
-    g = jnp.stack([
-        jnp.stack([gp0x, gp0y, zeros, gp0w], axis=-1),
-        jnp.stack([gp1x, gp1y, zeros, gp1w], axis=-1),
-        jnp.stack([gp2x, gp2y, zeros, gp2w], axis=-1),
-    ], axis=-2)  # [B, H, W, 3, 4]
-    g = jnp.where(valid[..., None, None], g, 0.0)
+    # Per-pixel gradients as a [N, 9] SoA block: (x, y, w) per vertex.
+    g = jnp.stack(
+        [gp0x, gp0y, gp0w, gp1x, gp1y, gp1w, gp2x, gp2y, gp2w], axis=-1)
+    g = jnp.where(valid[:, None], g, 0.0)
     # NaN/Inf guard: masked lanes computed with dummy geometry.
     g = jnp.where(jnp.isfinite(g), g, 0.0)
 
-    # Deterministic scatter-add into vertex gradients.
+    # Level 1: pixels -> per-triangle gradient table (MXU one-hot).
+    gt = scatter_add_by_id(rid, g, R)  # [(B*)T, 9]
+
+    # Level 2: triangle table -> vertex gradients (tiny scatter).
+    gt = gt.reshape(-1, T, 3, 3)  # [B?, T, vert, (x, y, w)]
+    gv = jnp.zeros(gt.shape[:-1] + (4,), jnp.float32)
+    gv = gv.at[..., 0].set(gt[..., 0])
+    gv = gv.at[..., 1].set(gt[..., 1])
+    gv = gv.at[..., 3].set(gt[..., 2])
     if instance_mode:
-        boffs = jnp.arange(B, dtype=vidx.dtype)[:, None, None, None] * V
-        flat_idx = (vidx + boffs)
-        flat_idx = jnp.where(valid[..., None], flat_idx, B * V)  # OOB -> drop
-        grad = jnp.zeros((B * V, 4), jnp.float32)
-        grad = grad.at[flat_idx.reshape(-1)].add(
-            g.reshape(-1, 4), mode="drop")
-        return grad.reshape(B, V, 4)
+        grad = jnp.zeros((B, V, 4), jnp.float32)
+        grad = grad.at[:, tri].add(gv, mode="drop")
+        return grad
     else:
-        flat_idx = jnp.where(valid[..., None], vidx, V)
         grad = jnp.zeros((V, 4), jnp.float32)
-        grad = grad.at[flat_idx.reshape(-1)].add(g.reshape(-1, 4), mode="drop")
+        grad = grad.at[tri].add(gv[0], mode="drop")
         return grad
 
 
@@ -559,6 +585,21 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
     instance_mode = pos.ndim > 2
     H, W = resolution
     T = tri.shape[0]
+
+    use_pallas = (
+        impl in ("pallas", "pallas_interpret")
+        or (impl == "auto" and jax.default_backend() == "tpu"))
+    use_pallas &= T < (1 << 24)
+
+    if use_pallas:
+        from .rasterize_pallas import rasterize_fused
+
+        if instance_mode and ranges is None:
+            ranges = jnp.broadcast_to(
+                jnp.array([[0, T]], jnp.int32), (pos.shape[0], 2))
+        return rasterize_fused(
+            pos, tri, resolution, ranges, peel_depth,
+            interpret=(impl == "pallas_interpret"))
 
     if instance_mode:
         B = pos.shape[0]
@@ -596,22 +637,10 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
         rmask = (t_ar >= start) & (t_ar < start + count)  # [B, T]
         valid_f = sval_f[None, :] & jnp.repeat(rmask, 2, axis=1)
 
-    use_pallas = (
-        impl in ("pallas", "pallas_interpret")
-        or (impl == "auto" and jax.default_backend() == "tpu"))
-    use_pallas &= peel_depth is None and T < (1 << 24)
-
-    if use_pallas:
-        from .rasterize_pallas import coverage_pallas
-
-        idbuf, zbuf = coverage_pallas(
-            sub_f, sval_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
-            interpret=(impl == "pallas_interpret"))
-    else:
-        ecoef_f = _edge_coeffs(sub_f)
-        idbuf, zbuf = _coverage_xla(
-            ecoef_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
-            peel_depth=peel_depth, chunk=chunk)
+    ecoef_f = _edge_coeffs(sub_f)
+    idbuf, zbuf = _coverage_xla(
+        ecoef_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
+        peel_depth=peel_depth, chunk=chunk)
 
     out, out_db = _shade(pos, tri, idbuf, resolution, instance_mode)
     return out, out_db, zbuf
@@ -698,7 +727,9 @@ def rasterize(glctx, pos, tri, resolution, ranges=None, grad_db=True,
             raise ValueError("range mode requires `ranges` (pos is 2D)")
         ranges = jnp.asarray(ranges, jnp.int32)
     else:
-        ranges = jnp.zeros((pos.shape[0], 2), jnp.int32)  # unused placeholder
+        # Full-window placeholder (the fused kernel masks ids against it).
+        ranges = jnp.broadcast_to(
+            jnp.array([[0, tri.shape[0]]], jnp.int32), (pos.shape[0], 2))
 
     out, out_db, _zbuf = _rasterize_prim(
         pos, tri, resolution, ranges, None, bool(grad_db), int(chunk), impl)
@@ -727,7 +758,9 @@ class DepthPeeler:
                 raise ValueError("range mode requires `ranges`")
             self.ranges = jnp.asarray(ranges, jnp.int32)
         else:
-            self.ranges = jnp.zeros((self.pos.shape[0], 2), jnp.int32)
+            self.ranges = jnp.broadcast_to(
+                jnp.array([[0, self.tri.shape[0]]], jnp.int32),
+                (self.pos.shape[0], 2))
         self.grad_db = grad_db
         self.chunk = int(chunk)
         self.impl = impl

@@ -1,49 +1,68 @@
-"""Pallas TPU tiled rasterizer (the fast coverage path).
+"""Pallas TPU fused rasterizer (coverage + shading in one pass).
 
-TPU-shaped replacement for CudaRaster's bin/coarse/fine stages
-(csrc/common/cudaraster/impl/{BinRaster,CoarseRaster,FineRaster}.inl):
+TPU-shaped replacement for CudaRaster's bin/coarse/fine stages plus the
+per-pixel forward shader (csrc/common/cudaraster/impl/{BinRaster,
+CoarseRaster,FineRaster}.inl and csrc/common/rasterize.cu:15-114),
+re-designed around the TPU's strengths:
 
-* **Binning** (XLA): subtriangles are sorted by the tile of their
-  screen AABB (locality sort), grouped into fixed-size chunks, and a
-  per-(tile, chunk) overlap mask is computed from chunk AABBs — the
-  sort-based, statically-shaped substitute for CudaRaster's atomic
-  segment allocators.
-* **Pixel phase** (Pallas): grid (batch, tile_y, tile_x, chunk); the
-  output (depth, id) tile block stays resident in VMEM across the
-  chunk axis (accumulator pattern), each visited chunk evaluates the
-  affine edge functions for GROUP subtriangles at a time over the
-  whole TILE_H x TILE_W tile on the VPU, and non-overlapping chunks
-  are skipped with `pl.when`. The depth test is a lexicographic
-  (depth, id) minimum — the deterministic-ROP equivalent of
-  FineRaster.inl:152-172 without atomics (lowest triangle index wins
-  depth ties).
+* **Binning** (XLA): subtriangles are sorted by the (rowband, column
+  tile) of their screen AABB, grouped into GROUP=8-subtriangle groups
+  with precomputed group AABBs — the sort-based, statically-shaped
+  substitute for CudaRaster's atomic segment allocators.
+* **Pixel phase** (Pallas): grid (batch, rowband, coltile, chunk); the
+  output tile stays resident in VMEM across the chunk axis
+  (accumulator pattern). Each chunk DMA brings CHUNK subtriangle
+  records; per-group AABB tests (scalar, SMEM) skip non-overlapping
+  work, and surviving groups evaluate 8 affine edge functions over a
+  32x128 pixel region on the VPU.
+* **Depth test without divides**: the running per-pixel minimum is the
+  lexicographic (z/w, id) order evaluated by cross-multiplication
+  (z_c * w_a < z_a * w_c, both w > 0) — the deterministic-ROP
+  equivalent of FineRaster.inl:152-172 with *lowest triangle index
+  wins depth ties*, and no atomics.
+* **Fused shading**: every per-triangle quantity the reference's
+  forward shader gathers per pixel (rasterize.cu:15-114) is an affine
+  function of the pixel center, so the winning triangle's parent edge
+  values and plane coefficients are accumulated alongside the depth
+  test. The final grid step converts them to (u, v, z/w, id) and the
+  bary pixel differentials in-register — no per-pixel gather anywhere.
+* **Depth peeling** reads the previous layer's depth image and culls
+  fragments with depth <= peel (FineRaster.inl:349) — fused into the
+  same candidate test.
 
-Coefficient layout per subtriangle (16 floats):
-  [0:9]  three affine edge functions (const, d/dfx, d/dfy each),
-  [9:12] z plane (parent), [12:15] w plane,
-  [15]   triangle id as float (exact for ids < 2^24), or 1e30 when the
-         subtriangle is invalid for this image. Meshes beyond 2^24
-         triangles fall back to the XLA path.
+Record layout per subtriangle (32 f32, lane-padded):
+  [0:9]   subtriangle edge functions, affine (c, d/dfx, d/dfy) x 3
+  [9:12]  parent z plane (affine)
+  [12:15] parent w plane (affine)
+  [15]    triangle_id + 1 as float (exact for ids < 2^24), or 1e30
+          when the slot is invalid
+  [16:25] parent edge functions, affine x 3 (for barycentrics + db)
+  [25:32] zero padding
+
+Range-mode per-image triangle windows are enforced in-kernel from the
+(start, count) scalars, so geometry records are shared across the
+minibatch exactly like the reference's range mode (ops.py:93-135).
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import coord
-
 TILE_H = 32
-TILE_W = 128
-CHUNK = 64
+LANE = 128
+MAX_TILE_W = 2048
 GROUP = 8
+MAX_CHUNK = 512
 
 # Largest triangle count served by this kernel (float32-exact ids).
 MAX_PALLAS_TRIS = 1 << 24
 
-_INT32_MAX = jnp.iinfo(jnp.int32).max
 _BIG = 1e30
 _ID_INVALID = 1e30
+_ID_VALID_THRESH = 1e29
 
 
 def _cdiv(a, b):
@@ -51,7 +70,7 @@ def _cdiv(a, b):
 
 
 # ---------------------------------------------------------------------------
-# Binning (XLA, per image).
+# Binning (XLA).
 # ---------------------------------------------------------------------------
 
 def _pixel_aabb(sub, ok, H, W):
@@ -75,247 +94,456 @@ def _pixel_aabb(sub, ok, H, W):
     return xmin, ymin, xmax, ymax, ok
 
 
-def _sort_and_mask(coefs, aabb, H, W):
-    """Locality-sort subtris; build the per-(tile, chunk) overlap mask.
+def _sort_records(records, aabb, nty, ntx, tile_w):
+    """Locality-sort records; emit per-group and per-chunk AABBs.
 
-    coefs: [S, 16] with slot 15 = id/invalid marker already folded in.
+    records: [S, 32]; aabb: tuple of [S] arrays.
 
-    Returns (coefs_sorted [S, 16], chunk_mask [n_tiles, nc] i32).
+    Returns (records_sorted [S, 32], gaabb [S/GROUP, 4],
+    caabb [S/CHUNK-ish computed by caller via reshape]).
     """
     xmin, ymin, xmax, ymax, ok = aabb
-    S = coefs.shape[0]
-    nty = _cdiv(H, TILE_H)
-    ntx = _cdiv(W, TILE_W)
-    nc = S // CHUNK
-
-    tx0 = jnp.clip(jnp.floor((xmin + 0.5) / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor((ymin + 0.5) / TILE_H).astype(jnp.int32), 0, nty - 1)
-    key = jnp.where(ok, ty0 * ntx + tx0, _INT32_MAX)
+    _INT32_MAX = jnp.iinfo(jnp.int32).max
+    band = jnp.clip(jnp.floor((ymin + 0.5) / TILE_H).astype(jnp.int32),
+                    0, nty - 1)
+    tx0 = jnp.clip(jnp.floor((xmin + 0.5) / tile_w).astype(jnp.int32),
+                   0, ntx - 1)
+    key = jnp.where(ok, band * ntx + tx0, _INT32_MAX)
     order = jnp.argsort(key)
 
-    coefs_s = coefs[order]
+    records_s = records[order]
     xmin_s, ymin_s = xmin[order], ymin[order]
     xmax_s, ymax_s = xmax[order], ymax[order]
 
-    def creduce(v, red):
-        return red(v.reshape(nc, CHUNK), axis=1)
+    ng = records.shape[0] // GROUP
 
-    cxmin = creduce(xmin_s, jnp.min)
-    cymin = creduce(ymin_s, jnp.min)
-    cxmax = creduce(xmax_s, jnp.max)
-    cymax = creduce(ymax_s, jnp.max)
-    # Conservative tile range: pixel centers are integers, so pixels in
-    # [ceil(min), floor(max)]; the +-0.5 slack keeps it conservative.
-    ctx0 = jnp.clip(jnp.floor((cxmin + 0.5) / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    cty0 = jnp.clip(jnp.floor((cymin + 0.5) / TILE_H).astype(jnp.int32), 0, nty - 1)
-    ctx1 = jnp.clip(jnp.floor((cxmax + 0.5) / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    cty1 = jnp.clip(jnp.floor((cymax + 0.5) / TILE_H).astype(jnp.int32), 0, nty - 1)
-    cempty = cxmin > cxmax
+    def greduce(v, red):
+        return red(v.reshape(ng, GROUP), axis=1)
 
-    tyg = jnp.arange(nty, dtype=jnp.int32)[:, None, None]
-    txg = jnp.arange(ntx, dtype=jnp.int32)[None, :, None]
-    hit = ((tyg >= cty0[None, None]) & (tyg <= cty1[None, None]) &
-           (txg >= ctx0[None, None]) & (txg <= ctx1[None, None]) &
-           ~cempty[None, None])
-    chunk_mask = hit.reshape(nty * ntx, nc).astype(jnp.int32)
-    return coefs_s, chunk_mask
+    gaabb = jnp.stack([
+        greduce(xmin_s, jnp.min), greduce(ymin_s, jnp.min),
+        greduce(xmax_s, jnp.max), greduce(ymax_s, jnp.max)], axis=-1)
+    return records_s, gaabb
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel.
+# Kernel.
 # ---------------------------------------------------------------------------
 
-def _make_kernel(xs, xo, ys, yo):
+def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel):
+    """Build the fused coverage+shade kernel.
+
+    Accumulator channel mapping during the chunk sweep (all
+    [TILE_H, tile_w] f32):
+      zbuf <- pz   dudx <- pw    idf  <- idf
+      u    <- pa0  v    <- pa1   zw   <- pa2
+      dudy <- cx0  dvdx <- cy0   dvdy <- cx1
+      scratch: cy1, cx2, cy2
+    The final grid step rewrites them in place as the real outputs.
+    """
     xs = float(xs)
     xo = float(xo)
     ys = float(ys)
     yo = float(yo)
+    n_xsub = tile_w // LANE
 
-    def kernel(mask_ref, coef_ref, zbuf_ref, idbuf_ref):
-        c = pl.program_id(3)
+    def kernel(ranges_ref, caabb_ref, gaabb_ref, coef_ref, *rest):
+        if has_peel:
+            peel_ref = rest[0]
+            rest = rest[1:]
+        (u_ref, v_ref, zw_ref, idf_ref, dudx_ref, dudy_ref, dvdx_ref,
+         dvdy_ref, zbuf_ref, cy1_ref, cx2_ref, cy2_ref) = rest
+
         ty = pl.program_id(1)
         tx = pl.program_id(2)
-        ntx = pl.num_programs(2)
+        c = pl.program_id(3)
 
         @pl.when(c == 0)
         def _():
-            zbuf_ref[...] = jnp.full((1, TILE_H, TILE_W), jnp.inf, jnp.float32)
-            idbuf_ref[...] = jnp.full((1, TILE_H, TILE_W), _ID_INVALID,
-                                      jnp.float32)
+            zbuf_ref[...] = jnp.full((1, TILE_H, tile_w), _BIG, jnp.float32)
+            dudx_ref[...] = jnp.ones((1, TILE_H, tile_w), jnp.float32)
+            idf_ref[...] = jnp.full((1, TILE_H, tile_w), _ID_INVALID,
+                                    jnp.float32)
+            z = jnp.zeros((1, TILE_H, tile_w), jnp.float32)
+            for r in (u_ref, v_ref, zw_ref, dudy_ref, dvdx_ref, dvdy_ref):
+                r[...] = z
+            z2 = jnp.zeros((TILE_H, tile_w), jnp.float32)
+            for r in (cy1_ref, cx2_ref, cy2_ref):
+                r[...] = z2
 
-        # Mask block holds 8 tile rows (SMEM tiling rules); pick ours.
-        t_lin = ty * ntx + tx
-        mrow = t_lin - (t_lin // 8) * 8
+        # Tile pixel bounds (pixel-index units).
+        ty0 = (ty * TILE_H).astype(jnp.float32)
+        ty1 = ty0 + float(TILE_H - 1)
+        tx0i = tx * tile_w
+        tx0 = tx0i.astype(jnp.float32)
+        tx1 = tx0 + float(tile_w - 1)
 
-        @pl.when(mask_ref[0, mrow, c] != 0)
-        def _():
-            col = jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-            row = jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-            fxv = (col + (tx * TILE_W).astype(jnp.float32)) * xs + xo
-            fyv = (row + (ty * TILE_H).astype(jnp.float32)) * ys + yo
+        # Range-mode triangle window as float id bounds (ids are +1).
+        start_f = ranges_ref[0, 0, 0].astype(jnp.float32) + 1.0
+        end_f = start_f + ranges_ref[0, 0, 1].astype(jnp.float32)
 
-            zb = zbuf_ref[0]
-            ib = idbuf_ref[0]
-            for g in range(CHUNK // GROUP):
-                sl = slice(g * GROUP, (g + 1) * GROUP)
-                cf = coef_ref[0, sl, :]  # [G, 16]
+        chunk_hit = ((caabb_ref[0, c, 1] <= ty1) & (caabb_ref[0, c, 3] >= ty0)
+                     & (caabb_ref[0, c, 0] <= tx1)
+                     & (caabb_ref[0, c, 2] >= tx0))
 
-                def col(i):
-                    # [G, 1, 1] static column slice (explicit lax.slice:
-                    # jnp mixed slice+newaxis indexing lowers to gather,
-                    # which Mosaic rejects).
-                    s = jax.lax.slice_in_dim(cf, i, i + 1, axis=1)
-                    return jnp.expand_dims(s, -1)
+        inv128 = 1.0 / float(LANE)
+
+        def eval_region(g, sx):
+            """Evaluate group g over the 32x128 region at column sx.
+
+            Everything is 2D [TILE_H, 128]: candidates are merged
+            sequentially with scalar coefficients extracted from the
+            record block (3D vreg ops are not Mosaic-lowerable).
+            """
+            x_lo = pl.multiple_of(sx * LANE, LANE)
+            cf = coef_ref[0, pl.ds(g * GROUP, GROUP), :]  # [8, 32]
+
+            colf = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_H, LANE), 1).astype(jnp.float32)
+            rowf = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_H, LANE), 0).astype(jnp.float32)
+            fxv = (colf + (tx0i + x_lo).astype(jnp.float32)) * xs + xo
+            fyv = (rowf + (ty * TILE_H).astype(jnp.float32)) * ys + yo
+
+            if has_peel:
+                peel = peel_ref[0, :, pl.ds(x_lo, LANE)]
+
+            ds = pl.ds(x_lo, LANE)
+            az = zbuf_ref[0, :, ds]
+            aw = dudx_ref[0, :, ds]
+            aid = idf_ref[0, :, ds]
+            a_pa0 = u_ref[0, :, ds]
+            a_pa1 = v_ref[0, :, ds]
+            a_pa2 = zw_ref[0, :, ds]
+            a_cx0 = dudy_ref[0, :, ds]
+            a_cy0 = dvdx_ref[0, :, ds]
+            a_cx1 = dvdy_ref[0, :, ds]
+            a_cy1 = cy1_ref[:, ds]
+            a_cx2 = cx2_ref[:, ds]
+            a_cy2 = cy2_ref[:, ds]
+
+            for k in range(GROUP):
+                def s(i):
+                    return cf[k, i]
 
                 def aff(i):
-                    return (col(i)
-                            + col(i + 1) * jnp.expand_dims(fxv, 0)
-                            + col(i + 2) * jnp.expand_dims(fyv, 0))
+                    return s(i) + s(i + 1) * fxv + s(i + 2) * fyv
 
                 a0 = aff(0)
                 a1 = aff(3)
                 a2 = aff(6)
                 cov = (((a0 > 0) & (a1 > 0) & (a2 > 0))
                        | ((a0 < 0) & (a1 < 0) & (a2 < 0)))
-                z = aff(9)
-                w = aff(12)
-                idf = jnp.broadcast_to(col(15), (GROUP, TILE_H, TILE_W))
-                depth = z / w
-                okm = (cov & (w > 0) & (jnp.abs(depth) <= 1.0)
-                       & (idf < 1e29))
-                depth = jnp.where(okm, depth, jnp.inf)
-                idsb = jnp.where(okm, idf, _ID_INVALID)
-                dmin = jnp.min(depth, axis=0)
-                imin = jnp.min(
-                    jnp.where(depth == dmin[None], idsb, _ID_INVALID), axis=0)
-                better = (dmin < zb) | ((dmin == zb) & (imin < ib))
-                zb = jnp.where(better, dmin, zb)
-                ib = jnp.where(better, imin, ib)
-            zbuf_ref[0] = zb
-            idbuf_ref[0] = ib
+                pz = aff(9)
+                pw = aff(12)
+                idf = s(15)
+                ok = cov & (pw > 0) & (jnp.abs(pz) <= pw)
+                ok &= ((idf < _ID_VALID_THRESH) & (idf >= start_f)
+                       & (idf < end_f))
+                if has_peel:
+                    ok &= pz > peel * pw
+
+                pzc = jnp.where(ok, pz, _BIG)
+                pwc = jnp.where(ok, pw, 1.0)
+                idc = jnp.where(ok, idf, _ID_INVALID)
+
+                lhs = pzc * aw
+                rhs = az * pwc
+                better = (lhs < rhs) | ((lhs == rhs) & (idc < aid))
+
+                pa0 = aff(16)
+                pa1 = aff(19)
+                pa2 = aff(22)
+
+                az = jnp.where(better, pzc, az)
+                aw = jnp.where(better, pwc, aw)
+                aid = jnp.where(better, idc, aid)
+                a_pa0 = jnp.where(better, pa0, a_pa0)
+                a_pa1 = jnp.where(better, pa1, a_pa1)
+                a_pa2 = jnp.where(better, pa2, a_pa2)
+                a_cx0 = jnp.where(better, s(17), a_cx0)
+                a_cy0 = jnp.where(better, s(18), a_cy0)
+                a_cx1 = jnp.where(better, s(20), a_cx1)
+                a_cy1 = jnp.where(better, s(21), a_cy1)
+                a_cx2 = jnp.where(better, s(23), a_cx2)
+                a_cy2 = jnp.where(better, s(24), a_cy2)
+
+            zbuf_ref[0, :, ds] = az
+            dudx_ref[0, :, ds] = aw
+            idf_ref[0, :, ds] = aid
+            u_ref[0, :, ds] = a_pa0
+            v_ref[0, :, ds] = a_pa1
+            zw_ref[0, :, ds] = a_pa2
+            dudy_ref[0, :, ds] = a_cx0
+            dvdx_ref[0, :, ds] = a_cy0
+            dvdy_ref[0, :, ds] = a_cx1
+            cy1_ref[:, ds] = a_cy1
+            cx2_ref[:, ds] = a_cx2
+            cy2_ref[:, ds] = a_cy2
+
+        @pl.when(chunk_hit)
+        def _():
+            def group_body(g, carry):
+                gx0 = gaabb_ref[0, g, 0]
+                gy0 = gaabb_ref[0, g, 1]
+                gx1 = gaabb_ref[0, g, 2]
+                gy1 = gaabb_ref[0, g, 3]
+
+                @pl.when((gy0 <= ty1) & (gy1 >= ty0)
+                         & (gx0 <= tx1) & (gx1 >= tx0))
+                def _():
+                    sx_lo = jnp.maximum(
+                        jnp.floor((gx0 - tx0) * inv128).astype(jnp.int32), 0)
+                    sx_hi = jnp.minimum(
+                        jnp.floor((gx1 - tx0) * inv128).astype(jnp.int32),
+                        n_xsub - 1)
+
+                    def x_body(sx, carry2):
+                        eval_region(g, sx)
+                        return carry2
+
+                    jax.lax.fori_loop(sx_lo, sx_hi + 1, x_body, 0)
+
+                return carry
+
+            jax.lax.fori_loop(0, gpc, group_body, 0)
+
+        # Final grid step: convert accumulators to shaded outputs.
+        # Math follows the reference forward shader exactly
+        # (csrc/common/rasterize.cu:62-113).
+        @pl.when(c == nc - 1)
+        def _():
+            pz = zbuf_ref[0]
+            pw = dudx_ref[0]
+            idf = idf_ref[0]
+            pa0 = u_ref[0]
+            pa1 = v_ref[0]
+            pa2 = zw_ref[0]
+            cx0 = dudy_ref[0]
+            cy0 = dvdx_ref[0]
+            cx1 = dvdy_ref[0]
+            cy1 = cy1_ref[...]
+            cx2 = cx2_ref[...]
+            cy2 = cy2_ref[...]
+
+            valid = idf < _ID_VALID_THRESH
+            iw = 1.0 / (pa0 + pa1 + pa2)
+            b0 = jnp.clip(pa0 * iw, 0.0, 1.0)
+            b1 = jnp.clip(pa1 * iw, 0.0, 1.0)
+            bs = 1.0 / jnp.maximum(b0 + b1, 1.0)
+            b0 = b0 * bs
+            b1 = b1 * bs
+            depth = pz / pw
+            zwv = jnp.clip(depth, -1.0, 1.0)
+
+            da0dx = -cx0
+            da1dx = -cx1
+            da2dx = -cx2
+            da0dy = -cy0
+            da1dy = -cy1
+            da2dy = -cy2
+            datdx = da0dx + da1dx + da2dx
+            datdy = da0dy + da1dy + da2dy
+            dfxdx = xs * iw
+            dfydy = ys * iw
+            dudx = dfxdx * (b0 * datdx - da0dx)
+            dudy = dfydy * (b0 * datdy - da0dy)
+            dvdx = dfxdx * (b1 * datdx - da1dx)
+            dvdy = dfydy * (b1 * datdy - da1dy)
+
+            zero = jnp.zeros_like(b0)
+
+            def sel(v, empty=zero):
+                return jnp.where(valid, v, empty)[None]
+
+            u_ref[...] = sel(b0)
+            v_ref[...] = sel(b1)
+            zw_ref[...] = sel(zwv)
+            idf_ref[...] = sel(idf)
+            dudx_ref[...] = sel(dudx)
+            dudy_ref[...] = sel(dudy)
+            dvdx_ref[...] = sel(dvdx)
+            dvdy_ref[...] = sel(dvdy)
+            zbuf_ref[...] = sel(depth, jnp.full_like(b0, jnp.inf))
 
     return kernel
 
 
-def coverage_pallas(sub, svalid, zcoef, wcoef, valid_b, tri_ids, B,
-                    resolution, interpret=False):
-    """Tiled Pallas coverage pass.
+# ---------------------------------------------------------------------------
+# Host-side wrapper.
+# ---------------------------------------------------------------------------
+
+def _build_records(tv, tri_ids):
+    """Per-subtriangle record tensor [.., 2T, 32] (see module docstring)."""
+    from .rasterize import _near_clip_subtris, _edge_coeffs, _plane_coeffs
+
+    sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
+    zc, wc = _plane_coeffs(tv)  # [.., T, 3]
+    pe = _edge_coeffs(tv)  # [.., T, 3, 3]
+
+    lead = tv.shape[:-3]
+    T = tv.shape[-3]
+    S = 2 * T
+
+    sub_f = sub.reshape(lead + (S, 3, 4))
+    sval_f = svalid.reshape(lead + (S,))
+    se = _edge_coeffs(sub_f)  # [.., S, 3, 3]
+
+    def rep2(a):
+        return jnp.repeat(a, 2, axis=len(lead))
+
+    zc2 = rep2(zc)
+    wc2 = rep2(wc)
+    pe2 = rep2(pe)
+    idf = jnp.broadcast_to(
+        jnp.repeat(tri_ids.astype(jnp.float32) + 1.0, 2), lead + (S,))
+    idf = jnp.where(sval_f, idf, _ID_INVALID)
+
+    rec = jnp.concatenate([
+        se.reshape(lead + (S, 9)),
+        zc2, wc2,
+        idf[..., None],
+        pe2.reshape(lead + (S, 9)),
+        jnp.zeros(lead + (S, 7), jnp.float32),
+    ], axis=-1)
+    # Zero the geometry of invalid slots (keep idf = INVALID).
+    safe = jnp.zeros((32,), jnp.float32).at[15].set(_ID_INVALID)
+    rec = jnp.where(sval_f[..., None], rec, safe)
+    return rec, sub_f, sval_f
+
+
+def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
+                    interpret=False):
+    """Fused Pallas rasterize forward.
 
     Args:
-      sub: [S, 3, 4] (range mode, shared) or [B, S, 3, 4] clipped
-        subtriangle vertices.
-      svalid: [S] or [B, S] bool — geometric validity.
-      zcoef, wcoef: [.., S, 3] parent plane coefficients.
-      valid_b: [B, S] bool — per-image validity (range masks folded in).
-      tri_ids: [S] int32 parent triangle ids.
+      pos: [B, V, 4] (instance mode) or [V, 4] (range mode).
+      tri: [T, 3] int32.
       resolution: (H, W).
+      ranges: [B, 2] int32 (start, count); in instance mode pass the
+        full-window placeholder (the kernel masks ids against it).
+      peel_depth: optional [B, H, W] previous-layer depth (z/w; +inf
+        where empty). Fragments with depth <= peel are culled.
 
     Returns:
-      idbuf [B, H, W] int32 (-1 = empty), zbuf [B, H, W] float32.
+      out [B, H, W, 4], out_db [B, H, W, 4], zbuf [B, H, W] f32.
     """
-    from .rasterize import _edge_coeffs  # local import to avoid cycle
+    from . import coord
 
     H, W = resolution
-    S = tri_ids.shape[0]
+    instance_mode = pos.ndim > 2
+    T = tri.shape[0]
+    B = pos.shape[0] if instance_mode else ranges.shape[0]
+
     nty = _cdiv(H, TILE_H)
-    ntx = _cdiv(W, TILE_W)
-    Hp, Wp = nty * TILE_H, ntx * TILE_W
-    shared_geom = sub.ndim == 3
+    Hp = nty * TILE_H
+    wp0 = _cdiv(W, LANE) * LANE
+    ntx = _cdiv(wp0, MAX_TILE_W)
+    tile_w = LANE * _cdiv(wp0 // LANE, ntx)
+    Wp = ntx * tile_w
 
-    ecoef = _edge_coeffs(sub)  # [.., S, 3, 3]
-    base = jnp.concatenate([
-        ecoef.reshape(ecoef.shape[:-2] + (9,)), zcoef, wcoef], axis=-1)
-    if shared_geom:
-        base = jnp.broadcast_to(base[None], (B,) + base.shape)
-        sub_b = sub
-        svalid_b = svalid
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    if instance_mode:
+        tv = pos[:, tri]  # [B, T, 3, 4]
     else:
-        sub_b = sub
-        svalid_b = svalid
+        tv = pos[tri]  # [T, 3, 4]
+    rec, sub_f, sval_f = _build_records(tv, tri_ids)
 
-    # Slot 15: float id when valid for the image, else invalid marker.
-    idf = jnp.where(valid_b, tri_ids[None].astype(jnp.float32), _ID_INVALID)
-    coefs = jnp.concatenate([base, idf[..., None]], axis=-1)  # [B, S, 16]
+    S = 2 * T
+    # chunk must keep gpc = chunk/GROUP a multiple of 8 (SMEM tiling).
+    chunk = min(MAX_CHUNK, _cdiv(S, 8 * GROUP) * 8 * GROUP)
+    Sp = _cdiv(S, chunk) * chunk
+    nc = Sp // chunk
+    gpc = chunk // GROUP
 
-    # Pad S to a CHUNK multiple.
-    S_pad = _cdiv(S, CHUNK) * CHUNK
-    nc = S_pad // CHUNK
-    dpad = S_pad - S
-
-    def padn(a, axis, value=0):
-        if dpad == 0:
+    def pad_s(a, axis):
+        if Sp == S:
             return a
         cfg = [(0, 0)] * a.ndim
-        cfg[axis] = (0, dpad)
-        return jnp.pad(a, cfg, constant_values=value)
+        cfg[axis] = (0, Sp - S)
+        a = jnp.pad(a, cfg)
+        return a
 
-    coefs = padn(coefs, 1)
-    if dpad:
-        coefs = coefs.at[:, S:, 15].set(_ID_INVALID)
-    s_axis = 0 if shared_geom else 1
-    sub_p = padn(sub_b, s_axis)
-    svalid_p = padn(svalid_b, s_axis)
+    s_axis = 1 if instance_mode else 0
+    rec = pad_s(rec, s_axis)
+    if Sp != S:
+        # Padded slots: invalid id.
+        rec = rec.at[..., S:, 15].set(_ID_INVALID)
+    sub_p = pad_s(sub_f, s_axis)
+    sval_p = pad_s(sval_f, s_axis)
 
-    # Binning. Geometry (and thus the sort order + chunk mask) is
-    # shared in range mode, per-image in instance mode.
-    if shared_geom:
-        aabb = _pixel_aabb(sub_p, svalid_p, H, W)
-        xmin, ymin, xmax, ymax, ok = aabb
-        key_aabb = aabb
-        coefs_s, chunk_mask = jax.vmap(
-            lambda cf: _sort_and_mask(cf, key_aabb, H, W))(coefs)
-        chunk_mask = chunk_mask[:1]  # identical across B
-        mask_in = chunk_mask
+    def bin_one(rec_i, sub_i, sval_i):
+        aabb = _pixel_aabb(sub_i, sval_i, H, W)
+        return _sort_records(rec_i, aabb, nty, ntx, tile_w)
+
+    if instance_mode:
+        rec_s, gaabb = jax.vmap(bin_one)(rec, sub_p, sval_p)
     else:
-        aabb = _pixel_aabb(sub_p, svalid_p, H, W)
-        coefs_s, chunk_mask = jax.vmap(
-            lambda cf, a0, a1, a2, a3, a4: _sort_and_mask(
-                cf, (a0, a1, a2, a3, a4), H, W))(coefs, *aabb)
-        mask_in = chunk_mask
+        rec_s, gaabb = bin_one(rec, sub_p, sval_p)
+        rec_s = rec_s[None]
+        gaabb = gaabb[None]
 
-    Bm = mask_in.shape[0]
-    # Pad the tile axis of the mask to a multiple of 8 so the SMEM
-    # block (1, 8, nc) satisfies the TPU block tiling rules.
-    n_tiles = nty * ntx
-    nt_pad = _cdiv(n_tiles, 8) * 8
-    if nt_pad != n_tiles:
-        mask_in = jnp.pad(mask_in, ((0, 0), (0, nt_pad - n_tiles), (0, 0)))
+    # Per-chunk AABB from group AABBs.
+    ng = Sp // GROUP
+    ga4 = gaabb.reshape(-1, nc, gpc, 4)
+    caabb = jnp.stack([
+        ga4[..., 0].min(axis=-1), ga4[..., 1].min(axis=-1),
+        ga4[..., 2].max(axis=-1), ga4[..., 3].max(axis=-1)], axis=-1)
 
-    kernel = _make_kernel(*coord.pixel_scale_offset(H, W))
+    Bc = rec_s.shape[0]
+    # [B, 8, 2]: row-replicated so the SMEM block avoids size-1 dims.
+    ranges = jnp.broadcast_to(
+        jnp.asarray(ranges, jnp.int32).reshape(B, 1, 2), (B, 8, 2))
+
+    xs_, xo_, ys_, yo_ = coord.pixel_scale_offset(H, W)
+    has_peel = peel_depth is not None
+    kernel = _make_kernel(xs_, xo_, ys_, yo_, nc, gpc, tile_w, has_peel)
+
+    in_specs = [
+        pl.BlockSpec((1, 8, 2), lambda b, ty, tx, c: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, nc, 4),
+                     (lambda b, ty, tx, c: (b, 0, 0)) if Bc > 1 else
+                     (lambda b, ty, tx, c: (0, 0, 0)),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, gpc, 4),
+                     (lambda b, ty, tx, c: (b, c, 0)) if Bc > 1 else
+                     (lambda b, ty, tx, c: (0, c, 0)),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, chunk, 32),
+                     (lambda b, ty, tx, c: (b, c, 0)) if Bc > 1 else
+                     (lambda b, ty, tx, c: (0, c, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [ranges, caabb, gaabb, rec_s]
+    if has_peel:
+        peel_p = peel_depth
+        if (Hp, Wp) != (H, W):
+            peel_p = jnp.pad(peel_depth, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                             constant_values=jnp.inf)
+        in_specs.append(pl.BlockSpec(
+            (1, TILE_H, tile_w), lambda b, ty, tx, c: (b, ty, tx),
+            memory_space=pltpu.VMEM))
+        inputs.append(peel_p)
+
+    out_spec = pl.BlockSpec((1, TILE_H, tile_w),
+                            lambda b, ty, tx, c: (b, ty, tx),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)] * 9
+
     grid = (B, nty, ntx, nc)
-
-    zbuf, idfbuf = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # Chunk mask lives in SMEM (dynamic scalar reads); the
-            # block carries 8 tile rows to satisfy tiling rules.
-            pl.BlockSpec((1, 8, nc),
-                         lambda b, ty, tx, c: (b if Bm > 1 else 0,
-                                               (ty * ntx + tx) // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, CHUNK, 16),
-                         lambda b, ty, tx, c: (b, c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda b, ty, tx, c: (b, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda b, ty, tx, c: (b, ty, tx),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=[out_spec] * 9,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TILE_H, tile_w), jnp.float32)] * 3,
         interpret=interpret,
-    )(mask_in, coefs_s)
+    )(*inputs)
 
-    zbuf = zbuf[:, :H, :W]
-    idfbuf = idfbuf[:, :H, :W]
-    idbuf = jnp.where(idfbuf < 1e29, idfbuf.astype(jnp.int32), -1)
-    return idbuf, zbuf
+    u, v, zw, idf, dudx, dudy, dvdx, dvdy, zbuf = [
+        o[:, :H, :W] for o in outs]
+    out = jnp.stack([u, v, zw, idf], axis=-1)
+    out_db = jnp.stack([dudx, dudy, dvdx, dvdy], axis=-1)
+    return out, out_db, zbuf
