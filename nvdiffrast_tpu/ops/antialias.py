@@ -9,8 +9,15 @@ TPU-native re-design of the reference antialias op
   (antialias.cu:165-382) become **dense masked compute** over all
   horizontal and vertical pixel pairs — the TPU idiom replacing
   dynamic work queues; inactive pairs simply contribute zero.
-* Color updates use shifted adds instead of atomics; position
-  gradients use a deterministic scatter-add.
+* Data flow is flat-SoA (same design as rasterize/interpolate): all
+  per-pixel state is [N] / [N, K] with the pixel axis major, the
+  per-triangle screen-space geometry (own + opposite vertices, with
+  the silhouette fold ov=own handled per triangle) is ONE row-gather
+  from a [T(+1), 12] table, and neighbor access is a flat roll with
+  border masking instead of image-shaped shifts.
+* Color updates use rolled adds instead of atomics; position
+  gradients reduce pixels -> triangle rows on the MXU (one-hot
+  matmul) then triangle -> vertex with a tiny scatter.
 
 The per-pair analysis math (closer-triangle selection, wing-sign
 silhouette test, rational edge argmax, crossing-point alpha) and the
@@ -26,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import coord
+from .gather import table_take
+from .scatter import scatter_add_by_id
 from .topology import build_opposite_table
 
 _F32_MAX = jnp.float32(3.402823466e38)
@@ -86,54 +95,73 @@ def _max_idx3(n0, n1, n2, d0, d1, d2):
     return jnp.where(g20 & g21, 2, jnp.where(g10, 1, 0))
 
 
-def _shift_prev(x, axis, d):
-    """x at pixel1 position viewed from pixel0 (shift towards lower index)."""
-    # value[pixel0_coords] = x[pixel0 + step]; edge rows/cols are
-    # masked inactive by the caller, pad with edge values.
-    idx = [slice(None)] * x.ndim
-    idx[axis] = slice(1, None)
-    pad = [slice(None)] * x.ndim
-    pad[axis] = slice(-1, None)
-    return jnp.concatenate([x[tuple(idx)], x[tuple(pad)]], axis=axis)
+def _roll_prev(x, stride):
+    """x at the neighbor pixel (p + stride); tail garbage is masked."""
+    return jnp.concatenate([x[stride:], x[-stride:]], axis=0)
 
 
-def _shift_next(x, axis):
-    """Scatter from pixel0 coords onto pixel1 coords (shift towards higher)."""
-    idx = [slice(None)] * x.ndim
-    idx[axis] = slice(None, -1)
-    zpad_shape = list(x.shape)
-    zpad_shape[axis] = 1
-    z = jnp.zeros(zpad_shape, x.dtype)
-    return jnp.concatenate([z, x[tuple(idx)]], axis=axis)
+def _roll_next(x, stride):
+    """Scatter from p onto p + stride (zero-filled head)."""
+    pad_shape = (stride,) + x.shape[1:]
+    return jnp.concatenate([jnp.zeros(pad_shape, x.dtype), x[:-stride]],
+                           axis=0)
 
 
-# ---------------------------------------------------------------------------
-# Per-axis analysis (dense). axis d: 0 = right neighbor, 1 = down.
-# ---------------------------------------------------------------------------
+def _build_tables(pos, tri, op_table, instance_mode, H, W):
+    """Per-triangle screen/clip tables (channel-major) + dummy column.
 
-def _analyze_axis(color, rast, pos, tri, op_table, d, instance_mode):
-    """Compute per-pixel-pair AA state for one axis.
-
-    Returns dict with (per pixel0 coords [B, H, W]):
-      active: bool — pair produced a blend,
-      alpha: float — signed blend weight (0 if inactive),
-      di: int32 — chosen edge index,
-      tri1: bool — chosen triangle is the neighbor pixel's,
-      contrib: [B, H, W, C] — alpha * (color1 - color0).
+    Returns (ftable [12, (B*)T+1], btable [9, (B*)T+1], R, T).
+    ftable: own-vertex screen (SX*3, SY*3), opposite screen (OX*3, OY*3),
+    with the silhouette fold (missing opposite -> own vertex e).
+    btable: raw clip (x, y, w) per vertex for the backward.
     """
-    B, H, W, C = color.shape
-    ax = 2 - d  # array axis of the step: x for d=0, y for d=1
+    T = tri.shape[0]
+    xh = 0.5 * W
+    yh = 0.5 * H
+    ov = jnp.where(op_table >= 0, op_table, tri)  # [T, 3]
 
-    idf0 = rast[..., 3]
-    idf1 = _shift_prev(idf0, ax, d)
-    z0 = rast[..., 2]
-    z1 = _shift_prev(z0, ax, d)
-
-    # Border pairs are clamped to self in the reference (-> no work).
-    if d == 0:
-        border = jnp.arange(W)[None, None, :] >= W - 1
+    if instance_mode:
+        tv = pos[:, tri]  # [B, T, 3, 4]
+        o = pos[:, ov]
     else:
-        border = jnp.arange(H)[None, :, None] >= H - 1
+        tv = pos[tri]
+        o = pos[ov]
+
+    def screen(q):
+        iw = 1.0 / q[..., 3]
+        return q[..., 0] * iw * xh, q[..., 1] * iw * yh
+
+    sx, sy = screen(tv)
+    ox, oy = screen(o)
+    ftable = jnp.concatenate([sx, sy, ox, oy], axis=-1).reshape(-1, 12).T
+    btable = tv[..., jnp.array([0, 1, 3])].reshape(-1, 9).T
+    R = ftable.shape[1]
+    ftable = jnp.concatenate([ftable, jnp.zeros((12, 1), jnp.float32)], 1)
+    btable = jnp.concatenate([btable, jnp.zeros((9, 1), jnp.float32)], 1)
+    return ftable, btable, R, T
+
+
+def _pair_select(rast_flat, d, B, H, W, T, instance_mode):
+    """Shared fwd/bwd pair analysis: which triangle, which pixel.
+
+    Returns dict of flat [N] arrays: active-ish mask pieces, rid, tri1
+    flag, pixel-space (fx, fy) of the chosen pixel.
+    """
+    N = B * H * W
+    stride = 1 if d == 0 else W
+
+    idf0 = rast_flat[:, 3]
+    idf1 = _roll_prev(idf0, stride)
+    z0 = rast_flat[:, 2]
+    z1 = _roll_prev(z0, stride)
+
+    pix = jnp.arange(N, dtype=jnp.int32)
+    colp = pix % W
+    rowp = (pix // W) % H
+    if d == 0:
+        border = colp >= W - 1
+    else:
+        border = rowp >= H - 1
     work = (idf1 != idf0) & ~border
 
     tri0 = coord.float_to_triidx(idf0) - 1
@@ -145,50 +173,52 @@ def _analyze_axis(color, rast, pos, tri, op_table, d, instance_mode):
     tsel = jnp.where(both, jnp.where(z0 < z1, tri0, tri1i), tsel)
     is_t1 = tsel == tri1i  # note: work guarantees tri0 != tri1i
 
-    T = tri.shape[0]
     tri_ok = (tsel >= 0) & (tsel < T)
     active = work & tri_ok
     tid = jnp.where(tri_ok, tsel, 0)
+    if instance_mode:
+        boff = (pix // (H * W)) * T
+        rid = jnp.where(active, tid + boff, B * T)
+    else:
+        rid = jnp.where(active, tid, T)
 
     # Pixel coords, possibly shifted to the neighbor (antialias.cu:252-257).
-    pxg = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    pyg = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    pxg = jnp.broadcast_to(pxg, (B, H, W))
-    pyg = jnp.broadcast_to(pyg, (B, H, W))
     shift = is_t1.astype(jnp.float32)
-    px = pxg + shift * (1 - d)
-    py = pyg + shift * d
+    px = colp.astype(jnp.float32) + shift * (1 - d)
+    py = rowp.astype(jnp.float32) + shift * d
+    fx = px + 0.5 - 0.5 * W
+    fy = py + 0.5 - 0.5 * H
+    return dict(active=active, rid=rid, is_t1=is_t1, fx=fx, fy=fy,
+                idf0=idf0, idf1=idf1, stride=stride)
 
-    vi = tri[tid]  # [B, H, W, 3]
-    opv = op_table[tid]  # [B, H, W, 3]
-    has_op = opv >= 0
-    ov = jnp.where(has_op, opv, vi)  # silhouette -> own vertex
 
-    if instance_mode:
-        gather = jax.vmap(lambda pb, ib: pb[ib])
-        p = gather(pos, vi)  # [B, H, W, 3, 4]
-        o = gather(pos, ov)
-    else:
-        p = pos[vi]
-        o = pos[ov]
+# ---------------------------------------------------------------------------
+# Per-axis analysis (dense, flat SoA). axis d: 0 = right neighbor, 1 = down.
+# ---------------------------------------------------------------------------
 
-    xh = 0.5 * W
-    yh = 0.5 * H
-    fx = px + 0.5 - xh
-    fy = py + 0.5 - yh
+def _analyze_axis(color_cols, rast_flat, ftable, d, B, H, W, T, R,
+                  instance_mode):
+    """Per-pixel-pair AA state for one axis (all flat 1D [N] arrays)."""
+    sel = _pair_select(rast_flat, d, B, H, W, T, instance_mode)
+    active = sel["active"]
+    fx = sel["fx"]
+    fy = sel["fy"]
+    is_t1 = sel["is_t1"]
+    stride = sel["stride"]
 
-    def pixspace(q):
-        # q: [B, H, W, 3, 4] -> per-vertex pixel-space coords.
-        iw = 1.0 / q[..., 3]
-        return (q[..., 0] * iw * xh - fx[..., None],
-                q[..., 1] * iw * yh - fy[..., None])
-
-    x012, y012 = pixspace(p)  # [B, H, W, 3]
-    ox, oy = pixspace(o)
-    x0, x1, x2 = x012[..., 0], x012[..., 1], x012[..., 2]
-    y0, y1, y2 = y012[..., 0], y012[..., 1], y012[..., 2]
-    ox0, ox1, ox2 = ox[..., 0], ox[..., 1], ox[..., 2]
-    oy0, oy1, oy2 = oy[..., 0], oy[..., 1], oy[..., 2]
+    t12 = table_take(ftable, sel["rid"])  # [12, N] channel-major
+    x0 = t12[0] - fx
+    x1 = t12[1] - fx
+    x2 = t12[2] - fx
+    y0 = t12[3] - fy
+    y1 = t12[4] - fy
+    y2 = t12[5] - fy
+    ox0 = t12[6] - fx
+    ox1 = t12[7] - fx
+    ox2 = t12[8] - fx
+    oy0 = t12[9] - fy
+    oy1 = t12[10] - fy
+    oy2 = t12[11] - fy
 
     # Wing signs kill non-silhouette edges (antialias.cu:321-328).
     bb = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
@@ -245,98 +275,101 @@ def _analyze_axis(color, rast, pos, tri, op_table, d, instance_mode):
     alpha = jnp.where(active, ds * (0.5 - dcc), 0.0)
     alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
 
-    color1 = _shift_prev(color, ax, d)
-    contrib = alpha[..., None] * (color1 - color)
-
-    return {
-        "active": active & (alpha != 0.0),
-        "alpha": alpha,
-        "di": di,
-        "tri1": is_t1,
-        "contrib": contrib,
-    }
+    # Per-channel 1D contributions (no lane-padded [N, 1] masks).
+    contrib = [alpha * (_roll_prev(c, stride) - c) for c in color_cols]
+    return alpha, di, is_t1, contrib, stride
 
 
 def _aa_forward_core(color, rast, pos, tri, op_table):
     instance_mode = pos.ndim > 2
-    out = color
-    states = []
+    B, H, W, C = color.shape
+    N = B * H * W
+    ftable, _, R, T = _build_tables(pos, tri, op_table, instance_mode, H, W)
+
+    cflat = color.reshape(N, C)
+    ccols = [cflat[:, c] for c in range(C)]
+    rflat = rast.reshape(N, 4)
+    out = list(ccols)
+    res = []
     for d in (0, 1):
-        st = _analyze_axis(color, rast, pos, tri, op_table, d, instance_mode)
-        ax = 2 - d
-        pos_c = jnp.where((st["alpha"] > 0)[..., None], st["contrib"], 0.0)
-        neg_c = jnp.where((st["alpha"] <= 0)[..., None], st["contrib"], 0.0)
-        out = out + pos_c + _shift_next(neg_c, ax)
-        states.append(st)
-    # Residual buffers: alpha [B,H,W,2], di [B,H,W,2], tri1 [B,H,W,2].
-    alpha = jnp.stack([states[0]["alpha"], states[1]["alpha"]], axis=-1)
-    di = jnp.stack([states[0]["di"], states[1]["di"]], axis=-1)
-    tri1 = jnp.stack([states[0]["tri1"], states[1]["tri1"]], axis=-1)
-    return out, (alpha, di, tri1)
+        alpha, di, tri1, contrib, stride = _analyze_axis(
+            ccols, rflat, ftable, d, B, H, W, T, R, instance_mode)
+        apos = alpha > 0
+        for c in range(C):
+            pos_c = jnp.where(apos, contrib[c], 0.0)
+            neg_c = jnp.where(apos, 0.0, contrib[c])
+            out[c] = out[c] + pos_c + _roll_next(neg_c, stride)
+        res.extend([alpha, di, tri1])
+    return jnp.stack(out, axis=-1).reshape(B, H, W, C), tuple(res)
 
 
 # ---------------------------------------------------------------------------
 # Backward (re-derivation of AntialiasGradKernel, antialias.cu:387-556).
 # ---------------------------------------------------------------------------
 
-def _aa_backward_axis(dy, color, rast, pos, tri, alpha, di, tri1, d,
-                      instance_mode):
-    B, H, W, C = color.shape
-    ax = 2 - d
-
+def _aa_backward_axis(dy_cols, color_cols, rast_flat, btable, alpha, di,
+                      tri1, d, B, H, W, T, instance_mode):
+    N = B * H * W
+    stride = 1 if d == 0 else W
     active = alpha != 0.0
+    apos = alpha > 0
 
-    color1 = _shift_prev(color, ax, d)
-    dy1 = _shift_prev(dy, ax, d)
-    pdy = jnp.where((alpha > 0)[..., None], dy, dy1)
-
-    # Color gradients: -v at pixel0, +v at pixel1 (antialias.cu:449-462).
-    v = alpha[..., None] * pdy
-    g_color = -v + _shift_next(v, ax)
-
-    # Position gradient weight.
-    dd = jnp.sum(pdy * (color1 - color), axis=-1)
+    # Per-channel: color cross-gradients (-v at pixel0, +v at pixel1,
+    # antialias.cu:449-462) and the position gradient weight dd.
+    g_color = []
+    dd = jnp.zeros((N,), jnp.float32)
+    for c in range(len(dy_cols)):
+        pdy_c = jnp.where(apos, dy_cols[c], _roll_prev(dy_cols[c], stride))
+        v_c = alpha * pdy_c
+        g_color.append(-v_c + _roll_next(v_c, stride))
+        dd = dd + pdy_c * (_roll_prev(color_cols[c], stride) - color_cols[c])
     dd = jnp.where(active, dd, 0.0)
 
     # Chosen triangle: re-read the id from the pixel the forward used.
-    idf0 = rast[..., 3]
-    idf1 = _shift_prev(idf0, ax, d)
+    idf0 = rast_flat[:, 3]
+    idf1 = _roll_prev(idf0, stride)
     idf = jnp.where(tri1, idf1, idf0)
     tsel = coord.float_to_triidx(idf) - 1
-    T = tri.shape[0]
     ok = active & (tsel >= 0) & (tsel < T) & (dd != 0.0)
-    tid = jnp.where(tsel >= 0, tsel, 0)
+    tid = jnp.where(ok, tsel, 0)
+    pix = jnp.arange(N, dtype=jnp.int32)
+    if instance_mode:
+        rid = jnp.where(ok, tid + (pix // (H * W)) * T, B * T)
+    else:
+        rid = jnp.where(ok, tid, T)
 
-    # Edge vertices (antialias.cu:470-474).
+    t9 = table_take(btable, rid)  # [9, N]: (x, y, w) x 3 vertices
+
+    # Edge vertices (antialias.cu:470-474): i1 = di+1, i2 = di+2 (mod 3).
     i1 = jnp.where(di < 2, di + 1, 0)
     i2 = jnp.where(i1 < 2, i1 + 1, 0)
-    vall = tri[tid]  # [B, H, W, 3]
-    vi1 = jnp.take_along_axis(vall, i1[..., None], axis=-1)[..., 0]
-    vi2 = jnp.take_along_axis(vall, i2[..., None], axis=-1)[..., 0]
 
-    if instance_mode:
-        gather = jax.vmap(lambda pb, ib: pb[ib])
-        p1 = gather(pos, vi1)
-        p2 = gather(pos, vi2)
-    else:
-        p1 = pos[vi1]
-        p2 = pos[vi2]
+    # btable layout from _build_tables: reshape of [T, 3(vert), 3(xyw)]
+    # -> row 3*vert + comp.
+    def vert(idx, comp):
+        r = t9[0 + comp]
+        r = jnp.where(idx == 1, t9[3 + comp], r)
+        r = jnp.where(idx == 2, t9[6 + comp], r)
+        return r
 
-    pxg = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, None, :],
-                           (B, H, W))
-    pyg = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[None, :, None],
-                           (B, H, W))
+    p1x = vert(i1, 0)
+    p1y = vert(i1, 1)
+    p1w = vert(i1, 2)
+    p2x = vert(i2, 0)
+    p2y = vert(i2, 1)
+    p2w = vert(i2, 2)
+
     shift = tri1.astype(jnp.float32)
-    px = pxg + shift * (1 - d)
-    py = pyg + shift * d
+    colp = (pix % W).astype(jnp.float32)
+    rowp = ((pix // W) % H).astype(jnp.float32)
+    px = colp + shift * (1 - d)
+    py = rowp + shift * d
 
     pxh = 0.5 * W
     pyh = 0.5 * H
     fx = px + 0.5 - pxh
     fy = py + 0.5 - pyh
 
-    p1x, p1y, p1w = p1[..., 0], p1[..., 1], p1[..., 3]
-    p2x, p2y, p2w = p2[..., 0], p2[..., 1], p2[..., 3]
     if d == 1:
         p1x, p1y = p1y, p1x
         p2x, p2y = p2y, p2x
@@ -375,53 +408,62 @@ def _aa_backward_axis(dy, color, rast, pos, tri, alpha, di, tri1, d,
     # Saturated alpha kills position gradients (antialias.cu:542-546).
     sat = jnp.abs(alpha) >= 0.5
     keep = ok & ~sat
-    zeros = jnp.zeros_like(gp1x)
-    g1 = jnp.stack([gp1x, gp1y, zeros, gp1w], axis=-1)
-    g2 = jnp.stack([gp2x, gp2y, zeros, gp2w], axis=-1)
-    g1 = jnp.where(keep[..., None] & jnp.isfinite(g1), g1, 0.0)
-    g2 = jnp.where(keep[..., None] & jnp.isfinite(g2), g2, 0.0)
 
-    return g_color, (vi1, g1), (vi2, g2), keep
+    # Route (g1, g2) into the per-triangle 9-column layout by edge
+    # vertex index: column 3*vert + comp.
+    g1 = [gp1x, gp1y, gp1w]
+    g2 = [gp2x, gp2y, gp2w]
+    cols = []
+    for vtx in range(3):
+        m1 = (i1 == vtx) & keep
+        m2 = (i2 == vtx) & keep
+        for comp in range(3):
+            val = (jnp.where(m1, g1[comp], 0.0)
+                   + jnp.where(m2, g2[comp], 0.0))
+            cols.append(jnp.where(jnp.isfinite(val), val, 0.0))
+    gval = jnp.stack(cols, axis=0)  # [9, N] channel-major
+    return g_color, gval, rid
 
 
-def _aa_backward_core(dy, color, rast, pos, tri, residuals):
-    alpha, di, tri1 = residuals
+def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals):
+    (al0, di0, t10, al1, di1, t11) = residuals
     instance_mode = pos.ndim > 2
     B, H, W, C = color.shape
+    N = B * H * W
+    T = tri.shape[0]
+    V = pos.shape[1] if instance_mode else pos.shape[0]
+
+    _, btable, R, _ = _build_tables(pos, tri, op_table, instance_mode, H, W)
+    cflat = color.reshape(N, C)
+    ccols = [cflat[:, c] for c in range(C)]
+    rflat = rast.reshape(N, 4)
+    dyf = dy.reshape(N, C)
+    dycols = [dyf[:, c] for c in range(C)]
+
+    gc0, gv0, rid0 = _aa_backward_axis(
+        dycols, ccols, rflat, btable, al0, di0, t10, 0, B, H, W, T,
+        instance_mode)
+    gc1, gv1, rid1 = _aa_backward_axis(
+        dycols, ccols, rflat, btable, al1, di1, t11, 1, B, H, W, T,
+        instance_mode)
+    g_color = jnp.stack(
+        [dycols[c] + gc0[c] + gc1[c] for c in range(C)],
+        axis=-1).reshape(B, H, W, C)
+
+    # Pixels -> triangle rows (MXU one-hot), both axes in one pass each.
+    gt = scatter_add_by_id(rid0, gv0, R) + scatter_add_by_id(rid1, gv1, R)
+    gt = gt.reshape(-1, T, 3, 3)  # [B?, T, vert, (x, y, w)]
+
+    gv = jnp.zeros(gt.shape[:-1] + (4,), jnp.float32)
+    gv = gv.at[..., 0].set(gt[..., 0])
+    gv = gv.at[..., 1].set(gt[..., 1])
+    gv = gv.at[..., 3].set(gt[..., 2])
     if instance_mode:
-        V = pos.shape[1]
+        g_pos = jnp.zeros((B, V, 4), jnp.float32).at[:, tri].add(
+            gv, mode="drop")
     else:
-        V = pos.shape[0]
-
-    g_color = dy
-    scatters = []
-    for d in (0, 1):
-        gc, s1, s2, keep = _aa_backward_axis(
-            dy, color, rast, pos, tri, alpha[..., d], di[..., d],
-            tri1[..., d], d, instance_mode)
-        g_color = g_color + gc
-        scatters.append((s1, s2, keep))
-
-    # Deterministic scatter-add of position gradients.
-    if instance_mode:
-        g_pos = jnp.zeros((B * V, 4), jnp.float32)
-        boffs = jnp.arange(B, dtype=jnp.int32)[:, None, None] * V
-    else:
-        g_pos = jnp.zeros((V, 4), jnp.float32)
-        boffs = None
-
-    for (vi1, g1), (vi2, g2), keep in scatters:
-        for vi, g in ((vi1, g1), (vi2, g2)):
-            if instance_mode:
-                idx = vi + boffs
-                idx = jnp.where(keep, idx, B * V)
-            else:
-                idx = jnp.where(keep, vi, V)
-            g_pos = g_pos.at[idx.reshape(-1)].add(
-                g.reshape(-1, 4), mode="drop")
-
-    if instance_mode:
-        g_pos = g_pos.reshape(B, V, 4)
+        g_pos = jnp.zeros((V, 4), jnp.float32).at[tri].add(
+            gv[0], mode="drop")
     return g_color, g_pos
 
 
@@ -434,7 +476,6 @@ def _antialias_prim(color, rast, pos, tri, op_table, pos_gradient_boost):
     out, _ = _aa_forward_core(color, rast, pos, tri, op_table)
     return out
 
-
 def _antialias_prim_fwd(color, rast, pos, tri, op_table, pos_gradient_boost):
     out, res = _aa_forward_core(color, rast, pos, tri, op_table)
     return out, (color, rast, pos, tri, op_table, res)
@@ -442,7 +483,8 @@ def _antialias_prim_fwd(color, rast, pos, tri, op_table, pos_gradient_boost):
 
 def _antialias_prim_bwd(pos_gradient_boost, saved, dy):
     color, rast, pos, tri, op_table, res = saved
-    g_color, g_pos = _aa_backward_core(dy, color, rast, pos, tri, res)
+    g_color, g_pos = _aa_backward_core(dy, color, rast, pos, tri, op_table,
+                                       res)
     if pos_gradient_boost != 1.0:
         g_pos = g_pos * pos_gradient_boost
     g_rast = jnp.zeros_like(rast)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import coord
+from .gather import table_take
 from .scatter import scatter_add_by_id
 
 # Maximum number of differentiable attributes (reference:
@@ -42,23 +43,23 @@ def _int_zero_ct(x):
 def _pixel_tables(attr, rast, tri, instance_mode, attr_bc):
     """Shared fwd/bwd plumbing: flat ids + gathered attr table rows.
 
-    Returns (rid [N], g3 [N, 3A], b0, b1, b2 [N], valid [N], meta).
-    meta = (B, H, W, A, R, T).
+    Returns (rid [N], g3 [3A, N] channel-major, b0, b1, b2 [N],
+    valid [N], meta). meta = (B, H, W, A, R, T).
     """
     B, H, W, _ = rast.shape
     T = tri.shape[0]
     A = attr.shape[-1]
     N = B * H * W
 
-    # Per-triangle attribute table [(B*)T, 3A] + dummy zero row.
+    # Per-triangle attribute table [3A, (B*)T] + dummy zero column.
     if instance_mode and not attr_bc:
         att = attr[:, tri]  # [B, T, 3, A]
     else:
         a2d = attr[0] if instance_mode else attr
         att = a2d[tri]  # [T, 3, A]
-    tbl = att.reshape(-1, 3 * A)
-    R = tbl.shape[0]
-    tbl = jnp.concatenate([tbl, jnp.zeros((1, 3 * A), jnp.float32)], axis=0)
+    tbl = att.reshape(-1, 3 * A).T  # [3A, (B*)T]
+    R = tbl.shape[1]
+    tbl = jnp.concatenate([tbl, jnp.zeros((3 * A, 1), jnp.float32)], axis=1)
 
     idbuf = coord.float_to_triidx(rast[..., 3]).reshape(N) - 1
     valid = (idbuf >= 0) & (idbuf < T)
@@ -69,13 +70,18 @@ def _pixel_tables(attr, rast, tri, instance_mode, attr_bc):
     else:
         rid = jnp.where(valid, tid, R)
 
-    g3 = tbl[rid]  # [N, 3A]
+    g3 = table_take(tbl, rid)  # [3A, N]
 
     r2 = rast.reshape(N, 4)
     b0 = jnp.where(valid, r2[:, 0], 0.0)
     b1 = jnp.where(valid, r2[:, 1], 0.0)
     b2 = jnp.where(valid, 1.0 - r2[:, 0] - r2[:, 1], 0.0)
     return rid, g3, b0, b1, b2, valid, (B, H, W, A, R, T)
+
+
+def _db_cols(rast_db, valid, N):
+    db = rast_db.reshape(N, 4)
+    return tuple(jnp.where(valid, db[:, i], 0.0) for i in range(4))
 
 
 def _interp_fwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
@@ -85,31 +91,24 @@ def _interp_fwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
     B, H, W, A, R, T = meta
     N = B * H * W
 
-    a0 = g3[:, :A]
-    a1 = g3[:, A:2 * A]
-    a2 = g3[:, 2 * A:]
-    out = b0[:, None] * a0 + b1[:, None] * a1 + b2[:, None] * a2
+    # Per-channel 1D math (never materializes lane-padded [N, small]).
+    out = jnp.stack(
+        [b0 * g3[a] + b1 * g3[A + a] + b2 * g3[2 * A + a] for a in range(A)],
+        axis=-1)
 
     D = len(diff_list)
     if D == 0:
         return (out.reshape(B, H, W, A),
                 jnp.zeros((B, H, W, 0), jnp.float32))
 
-    sel = jnp.asarray(diff_list, jnp.int32)
-    s0 = a0[:, sel]
-    s1 = a1[:, sel]
-    s2 = a2[:, sel]
-    db = rast_db.reshape(N, 4)
-    vm = valid[:, None]
-    dudx = jnp.where(vm, db[:, 0:1], 0.0)
-    dudy = jnp.where(vm, db[:, 1:2], 0.0)
-    dvdx = jnp.where(vm, db[:, 2:3], 0.0)
-    dvdy = jnp.where(vm, db[:, 3:4], 0.0)
-    dsdu = s0 - s2
-    dsdv = s1 - s2
-    dsdx = dudx * dsdu + dvdx * dsdv
-    dsdy = dudy * dsdu + dvdy * dsdv
-    out_da = jnp.stack([dsdx, dsdy], axis=-1).reshape(B, H, W, 2 * D)
+    dudx, dudy, dvdx, dvdy = _db_cols(rast_db, valid, N)
+    da_cols = []
+    for j in diff_list:
+        dsdu = g3[j] - g3[2 * A + j]
+        dsdv = g3[A + j] - g3[2 * A + j]
+        da_cols.append(dudx * dsdu + dvdx * dsdv)
+        da_cols.append(dudy * dsdu + dvdy * dsdv)
+    out_da = jnp.stack(da_cols, axis=-1).reshape(B, H, W, 2 * D)
     return out.reshape(B, H, W, A), out_da
 
 
@@ -122,61 +121,48 @@ def _interp_bwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
     N = B * H * W
     D = len(diff_list)
 
-    a0 = g3[:, :A]
-    a1 = g3[:, A:2 * A]
-    a2 = g3[:, 2 * A:]
     gy2 = gy.reshape(N, A)
+    gyc = [gy2[:, a] for a in range(A)]
 
     # Bary gradients -> rast channels 0-1 (channels 2-3 stay zero).
-    gb0 = jnp.sum(gy2 * (a0 - a2), axis=-1)
-    gb1 = jnp.sum(gy2 * (a1 - a2), axis=-1)
+    gb0 = sum(gyc[a] * (g3[a] - g3[2 * A + a]) for a in range(A))
+    gb1 = sum(gyc[a] * (g3[A + a] - g3[2 * A + a]) for a in range(A))
     zeros = jnp.zeros_like(gb0)
     g_rast = jnp.stack([gb0, gb1, zeros, zeros],
                        axis=-1).reshape(B, H, W, 4)
 
     # Attribute gradients, level 1: pixels -> triangle rows.
-    ga0 = b0[:, None] * gy2
-    ga1 = b1[:, None] * gy2
-    ga2 = b2[:, None] * gy2
+    ga0 = [b0 * gyc[a] for a in range(A)]
+    ga1 = [b1 * gyc[a] for a in range(A)]
+    ga2 = [b2 * gyc[a] for a in range(A)]
 
     g_rast_db = None
     if D > 0:
-        sel = jnp.asarray(diff_list, jnp.int32)
-        s0 = a0[:, sel]
-        s1 = a1[:, sel]
-        s2 = a2[:, sel]
-        db = rast_db.reshape(N, 4)
-        vm = valid[:, None]
-        dudx = jnp.where(vm, db[:, 0:1], 0.0)
-        dudy = jnp.where(vm, db[:, 1:2], 0.0)
-        dvdx = jnp.where(vm, db[:, 2:3], 0.0)
-        dvdy = jnp.where(vm, db[:, 3:4], 0.0)
+        dudx, dudy, dvdx, dvdy = _db_cols(rast_db, valid, N)
+        gda2 = gda.reshape(N, 2 * D)
+        gdb = [zeros, zeros, zeros, zeros]
+        for jj, j in enumerate(diff_list):
+            gdax = gda2[:, 2 * jj]
+            gday = gda2[:, 2 * jj + 1]
+            # d(out_da)/d(attr): s0 du terms, s1 dv terms, s2 minus both.
+            c0 = dudx * gdax + dudy * gday
+            c1 = dvdx * gdax + dvdy * gday
+            ga0[j] = ga0[j] + c0
+            ga1[j] = ga1[j] + c1
+            ga2[j] = ga2[j] - c0 - c1
+            # d(out_da)/d(rast_db).
+            dsdu = g3[j] - g3[2 * A + j]
+            dsdv = g3[A + j] - g3[2 * A + j]
+            gdb[0] = gdb[0] + gdax * dsdu
+            gdb[1] = gdb[1] + gday * dsdu
+            gdb[2] = gdb[2] + gdax * dsdv
+            gdb[3] = gdb[3] + gday * dsdv
+        g_rast_db = jnp.stack(
+            [jnp.where(valid, c, 0.0) for c in gdb],
+            axis=-1).reshape(B, H, W, 4)
 
-        gda2 = gda.reshape(N, D, 2)
-        gdax = gda2[..., 0]  # [N, D]
-        gday = gda2[..., 1]
-
-        # d(out_da)/d(attr): s0 gets du terms, s1 dv terms, s2 minus both.
-        c0 = dudx * gdax + dudy * gday  # [N, D]
-        c1 = dvdx * gdax + dvdy * gday
-        ga0 = ga0.at[:, sel].add(c0)
-        ga1 = ga1.at[:, sel].add(c1)
-        ga2 = ga2.at[:, sel].add(-c0 - c1)
-
-        # d(out_da)/d(rast_db).
-        dsdu = s0 - s2
-        dsdv = s1 - s2
-        g_rast_db = jnp.stack([
-            jnp.sum(gdax * dsdu, axis=-1),
-            jnp.sum(gday * dsdu, axis=-1),
-            jnp.sum(gdax * dsdv, axis=-1),
-            jnp.sum(gday * dsdv, axis=-1),
-        ], axis=-1)
-        g_rast_db = jnp.where(valid[:, None], g_rast_db, 0.0)
-        g_rast_db = g_rast_db.reshape(B, H, W, 4)
-
-    gval = jnp.concatenate([ga0, ga1, ga2], axis=-1)  # [N, 3A]
-    gval = jnp.where(valid[:, None], gval, 0.0)
+    gcols = [jnp.where(valid, c, 0.0) for c in (ga0 + ga1 + ga2)]
+    gval = jnp.stack(gcols, axis=0)  # [3A, N] channel-major
     gt = scatter_add_by_id(rid, gval, R)  # [(B*)T, 3A]
 
     # Level 2: triangle rows -> vertex attribute gradients.

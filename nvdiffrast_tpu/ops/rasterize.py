@@ -426,14 +426,14 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
         V = pos.shape[0]
     N = B * H * W
 
-    # Per-triangle vertex table: (x, y, w) x 3 vertices.
+    # Per-triangle vertex table, channel-major: (x, y, w) x 3 vertices.
     if instance_mode:
         tv = pos[:, tri]  # [B, T, 3, 4]
     else:
         tv = pos[tri]  # [T, 3, 4]
-    tbl = tv[..., jnp.array([0, 1, 3])].reshape(-1, 9)  # [(B*)T, 9]
-    R = tbl.shape[0]
-    tbl = jnp.concatenate([tbl, jnp.zeros((1, 9), jnp.float32)], axis=0)
+    tbl = tv[..., jnp.array([0, 1, 3])].reshape(-1, 9).T  # [9, (B*)T]
+    R = tbl.shape[1]
+    tbl = jnp.concatenate([tbl, jnp.zeros((9, 1), jnp.float32)], axis=1)
 
     idbuf = coord.float_to_triidx(out[..., 3]).reshape(N) - 1
     valid = idbuf >= 0
@@ -444,10 +444,11 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     else:
         rid = jnp.where(valid, tid, R)
 
-    g9 = tbl[rid]  # [N, 9]
+    from .gather import table_take
+    g9 = table_take(tbl, rid)  # [9, N] channel-major
 
     def vcol(i):
-        return g9[:, i]
+        return g9[i]
 
     x0, y0, w0 = vcol(0), vcol(1), vcol(2)
     x1, y1, w1 = vcol(3), vcol(4), vcol(5)
@@ -550,12 +551,11 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
         gp2w = (gp2w + cy * x01 - cx * y01 - cxy * a0p2 - czw * a1p2
                 + d0 * y1 - d1 * x1 - d2 * y0 + d3 * x0)
 
-    # Per-pixel gradients as a [N, 9] SoA block: (x, y, w) per vertex.
-    g = jnp.stack(
-        [gp0x, gp0y, gp0w, gp1x, gp1y, gp1w, gp2x, gp2y, gp2w], axis=-1)
-    g = jnp.where(valid[:, None], g, 0.0)
+    # Per-pixel gradients, channel-major [9, N]: (x, y, w) per vertex.
+    cols = [gp0x, gp0y, gp0w, gp1x, gp1y, gp1w, gp2x, gp2y, gp2w]
     # NaN/Inf guard: masked lanes computed with dummy geometry.
-    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    cols = [jnp.where(valid & jnp.isfinite(c), c, 0.0) for c in cols]
+    g = jnp.stack(cols, axis=0)
 
     # Level 1: pixels -> per-triangle gradient table (MXU one-hot).
     gt = scatter_add_by_id(rid, g, R)  # [(B*)T, 9]

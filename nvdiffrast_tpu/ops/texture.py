@@ -280,6 +280,11 @@ def _pack_pyramid(levels, cube_mode):
 
 
 def _gather(flat, idx, valid):
+    """Row-gather [*, C] <- flat[NT, C]; invalid lanes give zeros.
+
+    idx/valid are flat [N]-shaped (SoA) — one gather per texel corner,
+    never a [.., 4, C] tiny-dim tensor (TPU tile-padding poison).
+    """
     idx_safe = jnp.where(valid, idx, 0)
     vals = flat[idx_safe]
     return jnp.where(valid[..., None], vals, 0.0)
@@ -327,8 +332,8 @@ def _sample_nearest(flat, meta, uv, tz, D, boundary_mode, cube_mode):
 def _linear_setup_2d(uv, level, meta, boundary_mode):
     """Per-pixel bilinear addressing for 2D textures at a given level.
 
-    Returns (idx4, valid4, fu, fv) with idx4/valid4 shaped [..., 4] in
-    (00, 10, 01, 11) order. Matches indexTextureLinear
+    Returns per-corner flat indices/validity in (00, 10, 01, 11) order
+    as tuples of [N] arrays (SoA). Matches indexTextureLinear
     (texture_kernel.cu:368-472) including the clamp trick that zeroes
     uv gradients at clamped edges (iu1 = iu0 when clamped).
     """
@@ -374,33 +379,32 @@ def _linear_setup_2d(uv, level, meta, boundary_mode):
         u1_ok = (iu1 >= 0) & (iu1 < wi)
         v0_ok = (iv0 >= 0) & (iv0 < hi)
         v1_ok = (iv1 >= 0) & (iv1 < hi)
-        valid4 = jnp.stack([u0_ok & v0_ok, u1_ok & v0_ok,
-                            u0_ok & v1_ok, u1_ok & v1_ok], axis=-1)
+        valid4 = (u0_ok & v0_ok, u1_ok & v0_ok, u0_ok & v1_ok, u1_ok & v1_ok)
     else:
-        valid4 = jnp.ones(u.shape + (4,), bool)
+        ones = jnp.ones(u.shape, bool)
+        valid4 = (ones, ones, ones, ones)
 
     iu0c = jnp.clip(iu0, 0, wi - 1)
     iu1c = jnp.clip(iu1, 0, wi - 1)
     iv0c = jnp.clip(iv0, 0, hi - 1)
     iv1c = jnp.clip(iv1, 0, hi - 1)
-    idx4 = jnp.stack([
-        iv0c * wi + iu0c, iv0c * wi + iu1c,
-        iv1c * wi + iu0c, iv1c * wi + iu1c], axis=-1)
+    idx4 = (iv0c * wi + iu0c, iv0c * wi + iu1c,
+            iv1c * wi + iu0c, iv1c * wi + iu1c)
     return off, hi, wi, idx4, valid4, fu, fv
 
 
-def _bilerp(q, fu, fv):
-    """q: [..., 4, C] texels in (00, 10, 01, 11) order."""
+def _bilerp(q00, q10, q01, q11, fu, fv):
+    """Four [*, C] corner texels in (00, 10, 01, 11) order."""
     fu = fu[..., None]
     fv = fv[..., None]
-    top = q[..., 0, :] + fu * (q[..., 1, :] - q[..., 0, :])
-    bot = q[..., 2, :] + fu * (q[..., 3, :] - q[..., 2, :])
+    top = q00 + fu * (q10 - q00)
+    bot = q01 + fu * (q11 - q01)
     return top + fv * (bot - top)
 
 
 def _sample_linear_level(flat, meta, uv, tz, D, level, boundary_mode,
                          cube_mode, cube_st=None):
-    """Bilinear sample at per-pixel integer mip `level` (shape [...])."""
+    """Bilinear sample at per-pixel integer mip `level` (shape [N])."""
     offs, hs, ws = meta
 
     if cube_mode:
@@ -429,23 +433,32 @@ def _sample_linear_level(flat, meta, uv, tz, D, level, boundary_mode,
         def addr(f, ix, iy):
             return off + ((tz * 6 + f) * hi + iy) * wi + ix
 
-        idx4 = jnp.stack([addr(f00, x00, y00), addr(f10, x10, y10),
-                          addr(f01, x01, y01), addr(f11, x11, y11)], axis=-1)
-        ok4 = jnp.stack([ok00, ok10, ok01, ok11], axis=-1) & finite[..., None]
-
-        q = _gather(flat, idx4, ok4)  # [..., 4, C]
+        ok00 = ok00 & finite
+        ok10 = ok10 & finite
+        ok01 = ok01 & finite
+        ok11 = ok11 & finite
+        q00 = _gather(flat, addr(f00, x00, y00), ok00)
+        q10 = _gather(flat, addr(f10, x10, y10), ok10)
+        q01 = _gather(flat, addr(f01, x01, y01), ok01)
+        q11 = _gather(flat, addr(f11, x11, y11), ok11)
         # Cube-corner rule: a missing texel takes the average of the
         # other three (texture_kernel.cu:591-614).
-        n_ok = jnp.maximum(ok4.sum(axis=-1).astype(jnp.float32), 1.0)
-        avg = q.sum(axis=-2) / n_ok[..., None]
-        q = jnp.where((finite[..., None] & ~ok4)[..., None], avg[..., None, :], q)
-        return _bilerp(q, fu, fv)
+        n_ok = (ok00.astype(jnp.float32) + ok10.astype(jnp.float32)
+                + ok01.astype(jnp.float32) + ok11.astype(jnp.float32))
+        n_ok = jnp.maximum(n_ok, 1.0)
+        avg = (q00 + q10 + q01 + q11) / n_ok[..., None]
+
+        def fix(q, ok):
+            return jnp.where((finite & ~ok)[..., None], avg, q)
+
+        return _bilerp(fix(q00, ok00), fix(q10, ok10), fix(q01, ok01),
+                       fix(q11, ok11), fu, fv)
 
     off, hi, wi, idx4, valid4, fu, fv = _linear_setup_2d(
         uv, level, meta, boundary_mode)
     base = off + tz * hi * wi
-    q = _gather(flat, base[..., None] + idx4, valid4)
-    return _bilerp(q, fu, fv)
+    q = [_gather(flat, base + i, v) for i, v in zip(idx4, valid4)]
+    return _bilerp(q[0], q[1], q[2], q[3], fu, fv)
 
 
 # ---------------------------------------------------------------------------
@@ -599,12 +612,21 @@ def texture(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
 
     D = tex.shape[0]
     B, H, W = uv.shape[0], uv.shape[1], uv.shape[2]
+    C = tex.shape[-1]
+    N = B * H * W
+
+    # Flat SoA pixel axis: every per-pixel quantity is [N]/[N, K] so no
+    # tiny-trailing-dim tensor ever hits the (8, 128) tile padding.
+    uv = uv.reshape(N, uv.shape[-1])
     if D == 1:
-        tz = jnp.zeros((B, 1, 1), jnp.int32)
+        tz = jnp.zeros((N,), jnp.int32)
     else:
         if D != B:
             raise ValueError("texture minibatch size must be 1 or match uv")
-        tz = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        tz = jnp.arange(N, dtype=jnp.int32) // (H * W)
+
+    def unflatten(img):
+        return img.reshape(B, H, W, C)
 
     # Assemble the level list.
     if use_mip:
@@ -628,7 +650,8 @@ def texture(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
 
     # ---- nearest ----
     if filter_mode == "nearest":
-        return _sample_nearest(flat, meta, uv, tz, D, boundary_mode, cube_mode)
+        return unflatten(
+            _sample_nearest(flat, meta, uv, tz, D, boundary_mode, cube_mode))
 
     cube_st = None
     if cube_mode:
@@ -639,14 +662,14 @@ def texture(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
     # ---- linear (no mip) ----
     if filter_mode == "linear":
         level0 = jnp.zeros(uv.shape[:-1], jnp.int32)
-        return _sample_linear_level(flat, meta, uv, tz, D, level0,
-                                    boundary_mode, cube_mode, cube_st)
+        return unflatten(_sample_linear_level(
+            flat, meta, uv, tz, D, level0, boundary_mode, cube_mode, cube_st))
 
     # ---- mip level selection ----
     tex_h = jnp.float32(tex.shape[-3])
     tex_w = jnp.float32(tex.shape[-2])
     if uv_da is not None:
-        uv_da = jnp.asarray(uv_da, jnp.float32)
+        uv_da = jnp.asarray(uv_da, jnp.float32).reshape(N, -1)
         if cube_mode:
             st_da = _cube_uv_da_to_st_da(uv, uv_da)
         else:
@@ -656,15 +679,15 @@ def texture(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
         flevel = jnp.zeros(uv.shape[:-1], jnp.float32)
     if mip_level_bias is not None:
         mip_level_bias = jnp.asarray(mip_level_bias, jnp.float32)
-        flevel = flevel + mip_level_bias
+        flevel = flevel + mip_level_bias.reshape(N)
     flevel = jnp.clip(flevel, 0.0, float(mip_level_max))
 
     level0 = jnp.floor(flevel).astype(jnp.int32)
     level0 = jnp.clip(level0, 0, mip_level_max)
 
     if filter_mode == "linear-mipmap-nearest":
-        return _sample_linear_level(flat, meta, uv, tz, D, level0,
-                                    boundary_mode, cube_mode, cube_st)
+        return unflatten(_sample_linear_level(
+            flat, meta, uv, tz, D, level0, boundary_mode, cube_mode, cube_st))
 
     # ---- linear-mipmap-linear (trilinear) ----
     level1 = jnp.minimum(level0 + 1, mip_level_max)
@@ -673,4 +696,4 @@ def texture(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
                              boundary_mode, cube_mode, cube_st)
     b = _sample_linear_level(flat, meta, uv, tz, D, level1,
                              boundary_mode, cube_mode, cube_st)
-    return a + frac[..., None] * (b - a)
+    return unflatten(a + frac[..., None] * (b - a))
