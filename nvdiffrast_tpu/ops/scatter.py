@@ -46,21 +46,40 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
             vals_t.T, mode="drop")
 
     # Chunked one-hot matmul on the MXU (f32 accumulate, deterministic).
+    # Row folding: with raw K lanes the MXU runs at K/128 utilization, so
+    # F=8 consecutive table rows are packed into the lane dimension
+    # (out[q, f*K+k] for row q*F+f) — 8x fewer one-hot columns and ~56%
+    # lane utilization, at the cost of F-expanded value traffic.
+    F = 1
+    while (F * 2 * K <= 128) and (F < 8):
+        F *= 2
+    Rf = -(-num_rows // F) * F
+    QR = Rf // F
+
     n_chunks = -(-N // _CHUNK)
     Np = n_chunks * _CHUNK
     if Np != N:
         ids = jnp.pad(ids, (0, Np - N), constant_values=-1)
         vals_t = jnp.pad(vals_t, ((0, 0), (0, Np - N)))
-    row_ids = jnp.arange(num_rows, dtype=ids.dtype)
+    # Out-of-range ids -> an id whose q is out of range (dropped).
+    ids = jnp.where((ids >= 0) & (ids < num_rows), ids, Rf)
+    row_ids = jnp.arange(QR, dtype=ids.dtype)
 
     def body(i, acc):
         idc = jax.lax.dynamic_slice(ids, (i * _CHUNK,), (_CHUNK,))
         vc = jax.lax.dynamic_slice(vals_t, (0, i * _CHUNK), (K, _CHUNK))
-        oh = (idc[:, None] == row_ids[None, :]).astype(jnp.float32)
-        # out[r, k] = sum_p oh[p, r] * vc[k, p]
+        q = idc // F
+        s = idc % F
+        oh = (q[:, None] == row_ids[None, :]).astype(jnp.float32)
+        if F > 1:
+            vc = jnp.concatenate(
+                [jnp.where(s[None, :] == f, vc, 0.0) for f in range(F)],
+                axis=0)  # [F*K, CHUNK]
+        # out[qr, fk] = sum_p oh[p, qr] * vc[fk, p]
         return acc + jax.lax.dot_general(
             oh, vc, dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    acc0 = jnp.zeros((num_rows, K), jnp.float32)
-    return jax.lax.fori_loop(0, n_chunks, body, acc0)
+    acc0 = jnp.zeros((QR, F * K), jnp.float32)
+    out = jax.lax.fori_loop(0, n_chunks, body, acc0)
+    return out.reshape(Rf, K)[:num_rows]
