@@ -3,6 +3,12 @@
 Pipeline per BASELINE.md: rasterize + interpolate + antialias, forward
 and backward (L2 loss, gradients to vertex positions and colors),
 sphere mesh, 2048x2048, minibatch 1. Prints ONE JSON line.
+
+Methodology notes: inputs vary per iteration (rules out any
+result-level caching in the execution stack) and each iteration forces
+a host read of one gradient element (async dispatch on some backends
+makes `block_until_ready` unreliable for timing). The first window is
+discarded as warm-up.
 """
 
 import json
@@ -40,20 +46,21 @@ def main():
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
 
-    # Warm up / compile.
-    g = step(pos_clip, col)
-    jax.block_until_ready(g)
+    # Distinct inputs per iteration (epsilon-perturbed views).
+    pcs = [pos_clip * jnp.float32(1.0 + i * 1e-6) for i in range(8)]
 
-    # Time one iteration to choose the measurement count.
-    t0 = time.perf_counter()
-    jax.block_until_ready(step(pos_clip, col))
-    t_iter = time.perf_counter() - t0
-    iters = max(3, min(50, int(10.0 / max(t_iter, 1e-3))))
+    # Warm up / compile, then a discarded warm window.
+    g = step(pcs[0], col)
+    float(g[0][0, 0, 0])
+    for i in range(4):
+        g = step(pcs[i % 8], col)
+    float(g[0][0, 0, 0])
 
+    iters = 16
     t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(pos_clip, col)
-    jax.block_until_ready(g)
+    for i in range(iters):
+        g = step(pcs[i % 8], col)
+        float(g[0][0, 0, 0])  # force completion on async backends
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (RES * RES / 1e6) / dt
