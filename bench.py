@@ -5,10 +5,11 @@ and backward (L2 loss, gradients to vertex positions and colors),
 sphere mesh, 2048x2048, minibatch 1. Prints ONE JSON line.
 
 Methodology notes: inputs vary per iteration (rules out any
-result-level caching in the execution stack) and each iteration forces
-a host read of one gradient element (async dispatch on some backends
-makes `block_until_ready` unreliable for timing). The first window is
-discarded as warm-up.
+result-level caching in the execution stack). Device throughput is the
+*difference* of two timing windows (16 vs 48 iterations, each ending
+with a forced host read): the subtraction cancels both the constant
+dispatch-queue slack and the host<->device round-trip latency, which on
+tunneled backends is tens of ms and would otherwise bias the result.
 """
 
 import json
@@ -56,12 +57,17 @@ def main():
         g = step(pcs[i % 8], col)
     float(g[0][0, 0, 0])
 
-    iters = 16
-    t0 = time.perf_counter()
-    for i in range(iters):
-        g = step(pcs[i % 8], col)
+    def window(iters):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            g = step(pcs[i % 8], col)
         float(g[0][0, 0, 0])  # force completion on async backends
-    dt = (time.perf_counter() - t0) / iters
+        return time.perf_counter() - t0
+
+    n1, n2 = 16, 48
+    t1 = window(n1)
+    t2 = window(n2)
+    dt = max(t2 - t1, 1e-9) / (n2 - n1)
 
     mpix_s = (RES * RES / 1e6) / dt
     print(json.dumps({

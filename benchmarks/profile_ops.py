@@ -1,7 +1,9 @@
 """Per-op forward/backward timing on the real chip (dev tool).
 
 Times each stage of the headline pipeline separately so perf work can
-target the bottleneck. Not part of the test suite.
+target the bottleneck. Uses varying inputs + forced per-iteration host
+reads (async dispatch makes block_until_ready unreliable for timing on
+some backends). Not part of the test suite.
 """
 
 import time
@@ -19,13 +21,14 @@ from nvdiffrast_tpu.utils import camera
 RES = 2048
 
 
-def timeit(name, fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(name, fn, argsets, iters=8):
+    out = fn(*argsets[0])
+    first = jax.tree.leaves(out)[0]
+    float(jnp.asarray(first).ravel()[0])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out = fn(*argsets[i % len(argsets)])
+        float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:40s} {dt*1e3:9.2f} ms   {RES*RES/1e6/dt:9.1f} Mpix/s")
     return out
@@ -42,46 +45,46 @@ def main():
     posw = np.concatenate([vtxp, np.ones_like(vtxp[:, :1])], axis=1)
     pos_clip = jnp.asarray((posw @ mvp.T)[None].astype(np.float32))
     col = jnp.asarray(vtxc)
+    pcs = [pos_clip * jnp.float32(1 + i * 1e-6) for i in range(4)]
 
-    # --- forward stages ---
     rast_f = jax.jit(lambda p: rasterize(None, p, tri, (RES, RES),
                                          grad_db=False)[0])
-    rast = timeit("rasterize fwd (pallas)", rast_f, pos_clip)
-
-    rast_fx = jax.jit(lambda p: rasterize(None, p, tri, (RES, RES),
-                                          grad_db=False, impl="xla")[0])
-    timeit("rasterize fwd (xla scan)", rast_fx, pos_clip)
+    rast = timeit("rasterize fwd (pallas)", rast_f, [(p,) for p in pcs])
 
     interp_f = jax.jit(lambda c, r: interpolate(c[None], r, cidx)[0])
-    img = timeit("interpolate fwd", interp_f, col, rast)
+    img = timeit("interpolate fwd", interp_f, [(col * s, rast) for s in
+                                               (1.0, 0.99, 1.01, 0.98)])
 
     aa_f = jax.jit(lambda c, r, p: antialias(c, r, p, tri))
-    timeit("antialias fwd", aa_f, img, rast, pos_clip)
+    timeit("antialias fwd", aa_f, [(img, rast, p) for p in pcs])
 
-    # --- backward stages (isolated via stop_gradient chains) ---
     def rast_loss(p):
         r, _ = rasterize(None, p, tri, (RES, RES), grad_db=False)
         return jnp.mean(r[..., :3] ** 2)
-    timeit("rasterize fwd+bwd", jax.jit(jax.grad(rast_loss)), pos_clip)
+    timeit("rasterize fwd+bwd", jax.jit(jax.grad(rast_loss)),
+           [(p,) for p in pcs])
 
     def interp_loss(c, r):
-        img, _ = interpolate(c[None], r, cidx)
-        return jnp.mean(img ** 2)
-    timeit("interpolate fwd+bwd", jax.jit(jax.grad(interp_loss)), col, rast)
+        o, _ = interpolate(c[None], r, cidx)
+        return jnp.mean(o ** 2)
+    timeit("interpolate fwd+bwd",
+           jax.jit(jax.grad(interp_loss, argnums=(0, 1))),
+           [(col * s, rast) for s in (1.0, 0.99, 1.01, 0.98)])
 
     def aa_loss(c, r, p):
         out = antialias(c, r, p, tri)
         return jnp.mean(out ** 2)
     timeit("antialias fwd+bwd",
-           jax.jit(jax.grad(aa_loss, argnums=(0, 2))), img, rast, pos_clip)
+           jax.jit(jax.grad(aa_loss, argnums=(0, 2))),
+           [(img, rast, p) for p in pcs])
 
     def full_loss(p, c):
         r, _ = rasterize(None, p, tri, (RES, RES), grad_db=False)
-        img, _ = interpolate(c[None], r, cidx)
-        img = antialias(img, r, p, tri)
-        return jnp.mean(img ** 2)
+        o, _ = interpolate(c[None], r, cidx)
+        o = antialias(o, r, p, tri)
+        return jnp.mean(o ** 2)
     timeit("FULL fwd+bwd", jax.jit(jax.grad(full_loss, argnums=(0, 1))),
-           pos_clip, col)
+           [(p, col) for p in pcs])
 
 
 if __name__ == "__main__":

@@ -16,11 +16,102 @@ VMEM and HBM on TPU — a 4M-pixel [N, 9] buffer would silently cost
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # One-hot matmul is O(N * R); past this table size the scatter lowering
 # wins despite its overhead.
 _ONEHOT_MAX_ROWS = 16384
 _CHUNK = 1 << 15
+_P_CHUNK = 2048  # pixels per Pallas grid step
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
+    """One-hot reduction with the one-hot tile built in VMEM.
+
+    The XLA one-hot path materializes the [N, R/F] one-hot matrix in
+    HBM (~N*R/F*4 bytes of traffic — gigabytes at 4M pixels); here each
+    grid step builds its [P_CHUNK, QR] tile in registers, feeds the MXU
+    directly, and accumulates the [F*K, QR] table in VMEM scratch.
+    Values are split hi/lo into two bfloat16 matmuls (one-hot entries
+    are exact in bf16), keeping ~2^-16 relative accuracy with f32
+    accumulation while running the MXU at bf16 rate.
+    """
+    K, N = vals_t.shape
+    Rf = _cdiv(num_rows, F) * F
+    QR = max(_cdiv(Rf // F, 128) * 128, 128)  # lane-pad the row axis
+    FK = F * K
+
+    n_chunks = _cdiv(N, _P_CHUNK)
+    Np = n_chunks * _P_CHUNK
+    if Np != N:
+        ids = jnp.pad(ids, (0, Np - N), constant_values=-1)
+        vals_t = jnp.pad(vals_t, ((0, 0), (0, Np - N)))
+    ids = jnp.where((ids >= 0) & (ids < num_rows), ids, Rf + F)
+
+    def kernel(ids_ref, vals_ref, out_ref, acc_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            acc_ref[...] = jnp.zeros((FK, QR), jnp.float32)
+
+        idc = ids_ref[0]  # [P_CHUNK] (pixels on lanes)
+        q = idc // F
+        s = idc - q * F
+        vc = vals_ref[0]  # [K, P_CHUNK]
+
+        # vals_exp[f*K + k, p] = vals[k, p] * (s_p == f)
+        rows = []
+        for f in range(F):
+            m = (s == f)[None, :]
+            rows.append(jnp.where(m, vc, 0.0))
+        ve = jnp.concatenate(rows, axis=0)  # [FK, P_CHUNK]
+        ve_hi = ve.astype(jnp.bfloat16)
+        ve_lo = (ve - ve_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        # One-hot with pixels kept on lanes: ohT[r, p] = (q_p == r).
+        rr = jax.lax.broadcasted_iota(jnp.int32, (QR, _P_CHUNK), 0)
+        oht = (rr == q[None, :]).astype(jnp.bfloat16)  # [QR, P_CHUNK]
+
+        # out[fk, r] = sum_p ve[fk, p] * ohT[r, p]  (contract on lanes).
+        dn = (((1,), (1,)), ((), ()))
+        acc = acc_ref[...]
+        acc += jax.lax.dot_general(ve_hi, oht, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(ve_lo, oht, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+        acc_ref[...] = acc
+
+        @pl.when(c == pl.num_programs(0) - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, _P_CHUNK), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, _P_CHUNK), lambda c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FK, QR), lambda c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((FK, QR), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((FK, QR), jnp.float32)],
+        interpret=interpret,
+    )(ids.reshape(1, Np), vals_t.reshape(1, K, Np))
+
+    # out[f*K + k, q] -> result[q*F + f, k].
+    out = out[:, :Rf // F]  # [FK, R/F]
+    out = out.reshape(F, K, Rf // F)
+    out = jnp.transpose(out, (2, 0, 1)).reshape(Rf, K)
+    return out[:num_rows]
 
 
 def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
@@ -30,15 +121,28 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
       ids: [N] int32 row ids; out-of-range ids are dropped.
       vals_t: [K, N] float32, channel-major.
       num_rows: R, static.
-      method: 'auto' | 'onehot' | 'scatter'.
+      method: 'auto' | 'onehot' | 'pallas' | 'pallas_interpret' |
+        'scatter'.
 
     Returns:
       [R, K] float32.
     """
     K, N = vals_t.shape
     if method == "auto":
-        method = "onehot" if (num_rows <= _ONEHOT_MAX_ROWS
-                              and N >= 4 * _CHUNK) else "scatter"
+        if (jax.default_backend() == "tpu" and num_rows <= _ONEHOT_MAX_ROWS
+                and N >= 4 * _CHUNK):
+            method = "pallas"
+        elif num_rows <= _ONEHOT_MAX_ROWS and N >= 4 * _CHUNK:
+            method = "onehot"
+        else:
+            method = "scatter"
+
+    if method in ("pallas", "pallas_interpret"):
+        F = 1
+        while (F * 2 * K <= 128) and (F < 8):
+            F *= 2
+        return _scatter_pallas(ids, vals_t, num_rows, F,
+                               interpret=(method == "pallas_interpret"))
 
     if method == "scatter":
         safe = jnp.where((ids >= 0) & (ids < num_rows), ids, num_rows)

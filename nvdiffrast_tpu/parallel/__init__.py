@@ -12,6 +12,7 @@ from .shard import (
     render_shardings,
     shard_pipeline,
     sharded_train_step,
+    shard_map_train_step,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "render_shardings",
     "shard_pipeline",
     "sharded_train_step",
+    "shard_map_train_step",
 ]

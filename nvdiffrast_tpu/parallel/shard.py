@@ -78,3 +78,53 @@ def sharded_train_step(loss_fn, optimizer, mesh, dp_axis="dp", sp_axis="sp"):
         return params, opt_state, loss
 
     return jax.jit(step)
+
+
+def shard_map_train_step(loss_fn, optimizer, mesh, dp_axis="dp"):
+    """Data-parallel training step via ``jax.shard_map``.
+
+    Each device runs the FULL single-device pipeline (including the
+    Pallas kernels) on its minibatch shard; parameter gradients are
+    ``psum``-reduced over ICI. This is the production multi-chip path:
+    unlike constraint-based GSPMD partitioning, none of the pipeline's
+    flat-pixel reshapes or chunked reductions ever cross a shard
+    boundary, so no resharding collectives appear inside the step.
+
+    Args:
+      loss_fn: (params, batch) -> scalar mean loss over the shard.
+        `batch` is a pytree whose leading axis is the minibatch.
+      optimizer: an optax GradientTransformation.
+      mesh: jax.sharding.Mesh containing `dp_axis`.
+
+    Returns:
+      step(params, opt_state, batch) -> (params, opt_state, loss),
+      jitted; params/opt_state replicated, batch dp-sharded.
+    """
+    import optax
+
+    n_dp = mesh.shape[dp_axis]
+    other_axes = tuple(a for a in mesh.axis_names if a != dp_axis)
+
+    def per_shard(params, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        grads = jax.lax.psum(grads, dp_axis)
+        loss = jax.lax.psum(loss, dp_axis) / n_dp
+        return loss, grads
+
+    batch_spec = P(dp_axis)
+    repl_spec = P()
+    mapped = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(repl_spec, batch_spec),
+        out_specs=(repl_spec, repl_spec),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, batch):
+        loss, grads = mapped(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    del other_axes
+    return jax.jit(step)
