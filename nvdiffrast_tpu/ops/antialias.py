@@ -529,5 +529,6 @@ def antialias(color, rast, pos, tri, topology_hash=None,
     else:
         op_table = build_opposite_table(tri)
 
-    return _antialias_prim(color, rast, pos, tri, op_table,
-                           float(pos_gradient_boost))
+    with jax.named_scope("nvdiffrast.antialias"):
+        return _antialias_prim(color, rast, pos, tri, op_table,
+                               float(pos_gradient_boost))

@@ -264,5 +264,6 @@ def interpolate(attr, rast, tri, rast_db=None, diff_attrs=None):
     else:
         rast_db = jnp.asarray(rast_db, jnp.float32)
 
-    return _interpolate_prim(attr, rast, rast_db, tri, diff_list,
-                             bool(instance_mode), bool(attr_bc))
+    with jax.named_scope("nvdiffrast.interpolate"):
+        return _interpolate_prim(attr, rast, rast_db, tri, diff_list,
+                                 bool(instance_mode), bool(attr_bc))

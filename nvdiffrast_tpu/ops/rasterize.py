@@ -731,8 +731,10 @@ def rasterize(glctx, pos, tri, resolution, ranges=None, grad_db=True,
         ranges = jnp.broadcast_to(
             jnp.array([[0, tri.shape[0]]], jnp.int32), (pos.shape[0], 2))
 
-    out, out_db, _zbuf = _rasterize_prim(
-        pos, tri, resolution, ranges, None, bool(grad_db), int(chunk), impl)
+    with jax.named_scope("nvdiffrast.rasterize"):
+        out, out_db, _zbuf = _rasterize_prim(
+            pos, tri, resolution, ranges, None, bool(grad_db), int(chunk),
+            impl)
     return out, out_db
 
 

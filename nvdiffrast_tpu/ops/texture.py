@@ -541,6 +541,15 @@ def _cube_uv_da_to_st_da(uv, uv_da):
 
 def texture(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
             filter_mode="auto", boundary_mode="wrap", max_mip_level=None):
+    """Perform texture sampling (see `_texture_impl` for semantics)."""
+    with jax.named_scope("nvdiffrast.texture"):
+        return _texture_impl(tex, uv, uv_da, mip_level_bias, mip,
+                             filter_mode, boundary_mode, max_mip_level)
+
+
+def _texture_impl(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
+                  filter_mode="auto", boundary_mode="wrap",
+                  max_mip_level=None):
     """Perform texture sampling.
 
     API parity with the reference op (nvdiffrast/torch/ops.py:345-439).

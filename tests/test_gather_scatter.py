@@ -40,6 +40,11 @@ def test_scatter_methods_agree():
     b = scatter_add_by_id(ids, vals, R, method="onehot")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-4)
+    # Pallas kernel (bf16 hi/lo split): ~2^-16 relative accuracy.
+    c = scatter_add_by_id(ids, vals, R, method="pallas_interpret")
+    scale = float(jnp.max(jnp.abs(a)))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                               atol=3e-5 * scale)
 
 
 def test_fused_rasterizer_parity_interpret():
