@@ -196,17 +196,14 @@ def _pair_select(rast_flat, d, B, H, W, T, instance_mode):
 # Per-axis analysis (dense, flat SoA). axis d: 0 = right neighbor, 1 = down.
 # ---------------------------------------------------------------------------
 
-def _analyze_axis(color_cols, rast_flat, ftable, d, B, H, W, T, R,
-                  instance_mode):
+def _analyze_axis(color_cols, sel, t12, d, B, H, W):
     """Per-pixel-pair AA state for one axis (all flat 1D [N] arrays)."""
-    sel = _pair_select(rast_flat, d, B, H, W, T, instance_mode)
     active = sel["active"]
     fx = sel["fx"]
     fy = sel["fy"]
     is_t1 = sel["is_t1"]
     stride = sel["stride"]
 
-    t12 = table_take(ftable, sel["rid"])  # [12, N] channel-major
     x0 = t12[0] - fx
     x1 = t12[1] - fx
     x2 = t12[2] - fx
@@ -289,11 +286,18 @@ def _aa_forward_core(color, rast, pos, tri, op_table):
     cflat = color.reshape(N, C)
     ccols = [cflat[:, c] for c in range(C)]
     rflat = rast.reshape(N, 4)
+
+    # One batched table lookup for both axes.
+    sels = [_pair_select(rflat, d, B, H, W, T, instance_mode) for d in (0, 1)]
+    t12_all = table_take(
+        ftable, jnp.concatenate([sels[0]["rid"], sels[1]["rid"]]))
+    t12s = (t12_all[:, :N], t12_all[:, N:])
+
     out = list(ccols)
     res = []
     for d in (0, 1):
         alpha, di, tri1, contrib, stride = _analyze_axis(
-            ccols, rflat, ftable, d, B, H, W, T, R, instance_mode)
+            ccols, sels[d], t12s[d], d, B, H, W)
         apos = alpha > 0
         for c in range(C):
             pos_c = jnp.where(apos, contrib[c], 0.0)
@@ -307,8 +311,26 @@ def _aa_forward_core(color, rast, pos, tri, op_table):
 # Backward (re-derivation of AntialiasGradKernel, antialias.cu:387-556).
 # ---------------------------------------------------------------------------
 
-def _aa_backward_axis(dy_cols, color_cols, rast_flat, btable, alpha, di,
-                      tri1, d, B, H, W, T, instance_mode):
+def _bwd_rid(rast_flat, alpha, tri1, d, B, H, W, T, instance_mode):
+    """Row id of the triangle the forward analysis used, per pixel."""
+    N = B * H * W
+    stride = 1 if d == 0 else W
+    idf0 = rast_flat[:, 3]
+    idf1 = _roll_prev(idf0, stride)
+    idf = jnp.where(tri1, idf1, idf0)
+    tsel = coord.float_to_triidx(idf) - 1
+    ok = (alpha != 0.0) & (tsel >= 0) & (tsel < T)
+    tid = jnp.where(ok, tsel, 0)
+    pix = jnp.arange(N, dtype=jnp.int32)
+    if instance_mode:
+        rid = jnp.where(ok, tid + (pix // (H * W)) * T, B * T)
+    else:
+        rid = jnp.where(ok, tid, T)
+    return rid, ok
+
+
+def _aa_backward_axis(dy_cols, color_cols, t9, rid_ok, alpha, di,
+                      tri1, d, B, H, W):
     N = B * H * W
     stride = 1 if d == 0 else W
     active = alpha != 0.0
@@ -325,20 +347,7 @@ def _aa_backward_axis(dy_cols, color_cols, rast_flat, btable, alpha, di,
         dd = dd + pdy_c * (_roll_prev(color_cols[c], stride) - color_cols[c])
     dd = jnp.where(active, dd, 0.0)
 
-    # Chosen triangle: re-read the id from the pixel the forward used.
-    idf0 = rast_flat[:, 3]
-    idf1 = _roll_prev(idf0, stride)
-    idf = jnp.where(tri1, idf1, idf0)
-    tsel = coord.float_to_triidx(idf) - 1
-    ok = active & (tsel >= 0) & (tsel < T) & (dd != 0.0)
-    tid = jnp.where(ok, tsel, 0)
-    pix = jnp.arange(N, dtype=jnp.int32)
-    if instance_mode:
-        rid = jnp.where(ok, tid + (pix // (H * W)) * T, B * T)
-    else:
-        rid = jnp.where(ok, tid, T)
-
-    t9 = table_take(btable, rid)  # [9, N]: (x, y, w) x 3 vertices
+    ok = rid_ok & (dd != 0.0)
 
     # Edge vertices (antialias.cu:470-474): i1 = di+1, i2 = di+2 (mod 3).
     i1 = jnp.where(di < 2, di + 1, 0)
@@ -359,6 +368,7 @@ def _aa_backward_axis(dy_cols, color_cols, rast_flat, btable, alpha, di,
     p2y = vert(i2, 1)
     p2w = vert(i2, 2)
 
+    pix = jnp.arange(N, dtype=jnp.int32)
     shift = tri1.astype(jnp.float32)
     colp = (pix % W).astype(jnp.float32)
     rowp = ((pix // W) % H).astype(jnp.float32)
@@ -422,7 +432,7 @@ def _aa_backward_axis(dy_cols, color_cols, rast_flat, btable, alpha, di,
                    + jnp.where(m2, g2[comp], 0.0))
             cols.append(jnp.where(jnp.isfinite(val), val, 0.0))
     gval = jnp.stack(cols, axis=0)  # [9, N] channel-major
-    return g_color, gval, rid
+    return g_color, gval
 
 
 def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals):
@@ -440,18 +450,21 @@ def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals):
     dyf = dy.reshape(N, C)
     dycols = [dyf[:, c] for c in range(C)]
 
-    gc0, gv0, rid0 = _aa_backward_axis(
-        dycols, ccols, rflat, btable, al0, di0, t10, 0, B, H, W, T,
-        instance_mode)
-    gc1, gv1, rid1 = _aa_backward_axis(
-        dycols, ccols, rflat, btable, al1, di1, t11, 1, B, H, W, T,
-        instance_mode)
+    # One batched table lookup for both axes.
+    rid0, ok0 = _bwd_rid(rflat, al0, t10, 0, B, H, W, T, instance_mode)
+    rid1, ok1 = _bwd_rid(rflat, al1, t11, 1, B, H, W, T, instance_mode)
+    t9_all = table_take(btable, jnp.concatenate([rid0, rid1]))
+    gc0, gv0 = _aa_backward_axis(
+        dycols, ccols, t9_all[:, :N], ok0, al0, di0, t10, 0, B, H, W)
+    gc1, gv1 = _aa_backward_axis(
+        dycols, ccols, t9_all[:, N:], ok1, al1, di1, t11, 1, B, H, W)
     g_color = jnp.stack(
         [dycols[c] + gc0[c] + gc1[c] for c in range(C)],
         axis=-1).reshape(B, H, W, C)
 
-    # Pixels -> triangle rows (MXU one-hot), both axes in one pass each.
-    gt = scatter_add_by_id(rid0, gv0, R) + scatter_add_by_id(rid1, gv1, R)
+    # Pixels -> triangle rows (MXU one-hot), both axes in one reduction.
+    gt = scatter_add_by_id(jnp.concatenate([rid0, rid1]),
+                           jnp.concatenate([gv0, gv1], axis=1), R)
     gt = gt.reshape(-1, T, 3, 3)  # [B?, T, vert, (x, y, w)]
 
     gv = jnp.zeros(gt.shape[:-1] + (4,), jnp.float32)
