@@ -38,3 +38,21 @@ def save_image(fn, x):
     x = np.rint(x * 255.0)
     x = np.clip(x, 0, 255).astype(np.uint8)
     Image.fromarray(x).save(fn)
+
+
+def display_image(x, title=None):
+    """Show an image interactively (reference: samples/torch/util.py).
+
+    Uses PIL's viewer when a display is available; silently no-ops in
+    headless environments (the common case on TPU pods).
+    """
+    try:
+        from PIL import Image
+
+        x = np.asarray(x)
+        x = np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
+        img = Image.fromarray(x)
+        img.show(title=title)
+        return True
+    except Exception:
+        return False
