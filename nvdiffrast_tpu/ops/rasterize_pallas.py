@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 32
+TILE_H = 64
 LANE = 128
 MAX_TILE_W = 2048
 GROUP = 8
