@@ -85,9 +85,10 @@ def _db_cols(rast_db, valid, N):
 
 
 def _interp_fwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
-                     attr_bc):
-    rid, g3, b0, b1, b2, valid, meta = _pixel_tables(
-        attr, rast, tri, instance_mode, attr_bc)
+                     attr_bc, tables=None):
+    if tables is None:
+        tables = _pixel_tables(attr, rast, tri, instance_mode, attr_bc)
+    rid, g3, b0, b1, b2, valid, meta = tables
     B, H, W, A, R, T = meta
     N = B * H * W
 
@@ -113,10 +114,15 @@ def _interp_fwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
 
 
 def _interp_bwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
-                     attr_bc, gy, gda):
+                     attr_bc, gy, gda, saved=None):
     """Re-derivation of InterpolateGradKernel[Da] (interpolate.cu:131-274)."""
-    rid, g3, b0, b1, b2, valid, meta = _pixel_tables(
-        attr, rast, tri, instance_mode, attr_bc)
+    if saved is not None:
+        # Fwd residuals: skip re-gathering the attribute table (the
+        # [3A, N] buffer costs far less to store than to re-fetch).
+        rid, g3, b0, b1, b2, valid, meta = saved
+    else:
+        rid, g3, b0, b1, b2, valid, meta = _pixel_tables(
+            attr, rast, tri, instance_mode, attr_bc)
     B, H, W, A, R, T = meta
     N = B * H * W
     D = len(diff_list)
@@ -187,16 +193,18 @@ def _interpolate_prim(attr, rast, rast_db, tri, diff_list, instance_mode,
 
 def _interpolate_prim_fwd(attr, rast, rast_db, tri, diff_list, instance_mode,
                           attr_bc):
+    saved = _pixel_tables(attr, rast, tri, instance_mode, attr_bc)
     outs = _interp_fwd_core(attr, rast, rast_db, tri, diff_list,
-                            instance_mode, attr_bc)
-    return outs, (attr, rast, rast_db, tri)
+                            instance_mode, attr_bc, tables=saved)
+    return outs, (attr, rast, rast_db, tri, saved)
 
 
 def _interpolate_prim_bwd(diff_list, instance_mode, attr_bc, res, cts):
-    attr, rast, rast_db, tri = res
+    attr, rast, rast_db, tri, saved = res
     gy, gda = cts
     g_attr, g_rast, g_rast_db = _interp_bwd_core(
-        attr, rast, rast_db, tri, diff_list, instance_mode, attr_bc, gy, gda)
+        attr, rast, rast_db, tri, diff_list, instance_mode, attr_bc, gy, gda,
+        saved=saved)
     if g_rast_db is None:
         g_rast_db = jnp.zeros_like(rast_db)
     return (g_attr, g_rast, g_rast_db, _int_zero_ct(tri))
