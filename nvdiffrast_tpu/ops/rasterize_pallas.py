@@ -55,7 +55,9 @@ TILE_H = 64
 LANE = 128
 MAX_TILE_W = 2048
 GROUP = 8
+SLAB_H = 16
 MAX_CHUNK = 512
+_REMAP_MAX_ENTRIES = 16384  # SMEM budget for the chunk remap table
 
 # Largest triangle count served by this kernel (float32-exact ids).
 MAX_PALLAS_TRIS = 1 << 24
@@ -130,7 +132,8 @@ def _sort_records(records, aabb, nty, ntx, tile_w):
 # Kernel.
 # ---------------------------------------------------------------------------
 
-def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel):
+def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel, use_remap,
+                 ntx, bc_many):
     """Build the fused coverage+shade kernel.
 
     Accumulator channel mapping during the chunk sweep (all
@@ -147,7 +150,11 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel):
     yo = float(yo)
     n_xsub = tile_w // LANE
 
-    def kernel(ranges_ref, caabb_ref, gaabb_ref, coef_ref, *rest):
+    def kernel(*refs):
+        if use_remap:
+            remap_ref, cnt_ref, ranges_ref, gaabb_ref, coef_ref, *rest = refs
+        else:
+            ranges_ref, caabb_ref, gaabb_ref, coef_ref, *rest = refs
         if has_peel:
             peel_ref = rest[0]
             rest = rest[1:]
@@ -182,49 +189,59 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel):
         start_f = ranges_ref[0, 0, 0].astype(jnp.float32) + 1.0
         end_f = start_f + ranges_ref[0, 0, 1].astype(jnp.float32)
 
-        chunk_hit = ((caabb_ref[0, c, 1] <= ty1) & (caabb_ref[0, c, 3] >= ty0)
-                     & (caabb_ref[0, c, 0] <= tx1)
-                     & (caabb_ref[0, c, 2] >= tx0))
+        if use_remap:
+            # Only chunks whose AABB overlaps this tile were enqueued
+            # by the scalar-prefetch remap; skip the padded tail.
+            bb = pl.program_id(0) if bc_many else 0
+            chunk_hit = c < cnt_ref[bb, ty * ntx + tx]
+        else:
+            chunk_hit = ((caabb_ref[0, c, 1] <= ty1)
+                         & (caabb_ref[0, c, 3] >= ty0)
+                         & (caabb_ref[0, c, 0] <= tx1)
+                         & (caabb_ref[0, c, 2] >= tx0))
 
         inv128 = 1.0 / float(LANE)
+        inv_slab = 1.0 / float(SLAB_H)
+        n_slab = TILE_H // SLAB_H
 
-        def eval_region(g, sx):
-            """Evaluate group g over the 32x128 region at column sx.
+        def eval_region(sc, slab, sx):
+            """Evaluate one group over the SLAB_H x 128 region (slab, sx).
 
-            Everything is 2D [TILE_H, 128]: candidates are merged
-            sequentially with scalar coefficients extracted from the
-            record block (3D vreg ops are not Mosaic-lowerable).
+            Everything is 2D [SLAB_H, 128]: candidates are merged
+            sequentially with scalar coefficients (`sc`, hoisted per
+            group — 3D vreg ops are not Mosaic-lowerable).
             """
             x_lo = pl.multiple_of(sx * LANE, LANE)
-            cf = coef_ref[0, pl.ds(g * GROUP, GROUP), :]  # [8, 32]
+            y_lo = pl.multiple_of(slab * SLAB_H, SLAB_H)
 
             colf = jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_H, LANE), 1).astype(jnp.float32)
+                jnp.int32, (SLAB_H, LANE), 1).astype(jnp.float32)
             rowf = jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_H, LANE), 0).astype(jnp.float32)
+                jnp.int32, (SLAB_H, LANE), 0).astype(jnp.float32)
             fxv = (colf + (tx0i + x_lo).astype(jnp.float32)) * xs + xo
-            fyv = (rowf + (ty * TILE_H).astype(jnp.float32)) * ys + yo
+            fyv = (rowf + (ty * TILE_H + y_lo).astype(jnp.float32)) * ys + yo
 
+            dsy = pl.ds(y_lo, SLAB_H)
+            dsx = pl.ds(x_lo, LANE)
             if has_peel:
-                peel = peel_ref[0, :, pl.ds(x_lo, LANE)]
+                peel = peel_ref[0, dsy, dsx]
 
-            ds = pl.ds(x_lo, LANE)
-            az = zbuf_ref[0, :, ds]
-            aw = dudx_ref[0, :, ds]
-            aid = idf_ref[0, :, ds]
-            a_pa0 = u_ref[0, :, ds]
-            a_pa1 = v_ref[0, :, ds]
-            a_pa2 = zw_ref[0, :, ds]
-            a_cx0 = dudy_ref[0, :, ds]
-            a_cy0 = dvdx_ref[0, :, ds]
-            a_cx1 = dvdy_ref[0, :, ds]
-            a_cy1 = cy1_ref[:, ds]
-            a_cx2 = cx2_ref[:, ds]
-            a_cy2 = cy2_ref[:, ds]
+            az = zbuf_ref[0, dsy, dsx]
+            aw = dudx_ref[0, dsy, dsx]
+            aid = idf_ref[0, dsy, dsx]
+            a_pa0 = u_ref[0, dsy, dsx]
+            a_pa1 = v_ref[0, dsy, dsx]
+            a_pa2 = zw_ref[0, dsy, dsx]
+            a_cx0 = dudy_ref[0, dsy, dsx]
+            a_cy0 = dvdx_ref[0, dsy, dsx]
+            a_cx1 = dvdy_ref[0, dsy, dsx]
+            a_cy1 = cy1_ref[dsy, dsx]
+            a_cx2 = cx2_ref[dsy, dsx]
+            a_cy2 = cy2_ref[dsy, dsx]
 
             for k in range(GROUP):
                 def s(i):
-                    return cf[k, i]
+                    return sc[k][i]
 
                 def aff(i):
                     return s(i) + s(i + 1) * fxv + s(i + 2) * fyv
@@ -268,18 +285,18 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel):
                 a_cx2 = jnp.where(better, s(23), a_cx2)
                 a_cy2 = jnp.where(better, s(24), a_cy2)
 
-            zbuf_ref[0, :, ds] = az
-            dudx_ref[0, :, ds] = aw
-            idf_ref[0, :, ds] = aid
-            u_ref[0, :, ds] = a_pa0
-            v_ref[0, :, ds] = a_pa1
-            zw_ref[0, :, ds] = a_pa2
-            dudy_ref[0, :, ds] = a_cx0
-            dvdx_ref[0, :, ds] = a_cy0
-            dvdy_ref[0, :, ds] = a_cx1
-            cy1_ref[:, ds] = a_cy1
-            cx2_ref[:, ds] = a_cx2
-            cy2_ref[:, ds] = a_cy2
+            zbuf_ref[0, dsy, dsx] = az
+            dudx_ref[0, dsy, dsx] = aw
+            idf_ref[0, dsy, dsx] = aid
+            u_ref[0, dsy, dsx] = a_pa0
+            v_ref[0, dsy, dsx] = a_pa1
+            zw_ref[0, dsy, dsx] = a_pa2
+            dudy_ref[0, dsy, dsx] = a_cx0
+            dvdx_ref[0, dsy, dsx] = a_cy0
+            dvdy_ref[0, dsy, dsx] = a_cx1
+            cy1_ref[dsy, dsx] = a_cy1
+            cx2_ref[dsy, dsx] = a_cx2
+            cy2_ref[dsy, dsx] = a_cy2
 
         @pl.when(chunk_hit)
         def _():
@@ -292,17 +309,31 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel):
                 @pl.when((gy0 <= ty1) & (gy1 >= ty0)
                          & (gx0 <= tx1) & (gx1 >= tx0))
                 def _():
+                    # Hoist the 25x8 record scalars once per group.
+                    cf = coef_ref[0, pl.ds(g * GROUP, GROUP), :]  # [8, 32]
+                    sc = [[cf[k, i] for i in range(25)]
+                          for k in range(GROUP)]
                     sx_lo = jnp.maximum(
                         jnp.floor((gx0 - tx0) * inv128).astype(jnp.int32), 0)
                     sx_hi = jnp.minimum(
                         jnp.floor((gx1 - tx0) * inv128).astype(jnp.int32),
                         n_xsub - 1)
+                    sy_lo = jnp.maximum(
+                        jnp.floor((gy0 - ty0) * inv_slab).astype(jnp.int32),
+                        0)
+                    sy_hi = jnp.minimum(
+                        jnp.floor((gy1 - ty0) * inv_slab).astype(jnp.int32),
+                        n_slab - 1)
 
-                    def x_body(sx, carry2):
-                        eval_region(g, sx)
+                    def y_body(slab, carry2):
+                        def x_body(sx, carry3):
+                            eval_region(sc, slab, sx)
+                            return carry3
+
+                        jax.lax.fori_loop(sx_lo, sx_hi + 1, x_body, 0)
                         return carry2
 
-                    jax.lax.fori_loop(sx_lo, sx_hi + 1, x_body, 0)
+                    jax.lax.fori_loop(sy_lo, sy_hi + 1, y_body, 0)
 
                 return carry
 
@@ -451,7 +482,12 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
 
     S = 2 * T
     # chunk must keep gpc = chunk/GROUP a multiple of 8 (SMEM tiling).
-    chunk = min(MAX_CHUNK, _cdiv(S, 8 * GROUP) * 8 * GROUP)
+    # Adaptive size: target <= ~64 chunk steps per tile sweep so the
+    # grid overhead stays flat as meshes grow; cap at 2048 records
+    # (1 MB coefficient block) to keep double-buffering in VMEM.
+    target = _cdiv(S, 64)
+    chunk = min(4 * MAX_CHUNK, max(MAX_CHUNK, _cdiv(target, 64) * 64),
+                _cdiv(S, 8 * GROUP) * 8 * GROUP)
     Sp = _cdiv(S, chunk) * chunk
     nc = Sp // chunk
     gpc = chunk // GROUP
@@ -497,50 +533,113 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
 
     xs_, xo_, ys_, yo_ = coord.pixel_scale_offset(H, W)
     has_peel = peel_depth is not None
-    kernel = _make_kernel(xs_, xo_, ys_, yo_, nc, gpc, tile_w, has_peel)
 
-    in_specs = [
-        pl.BlockSpec((1, 8, 2), lambda b, ty, tx, c: (b, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, nc, 4),
-                     (lambda b, ty, tx, c: (b, 0, 0)) if Bc > 1 else
-                     (lambda b, ty, tx, c: (0, 0, 0)),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, gpc, 4),
-                     (lambda b, ty, tx, c: (b, c, 0)) if Bc > 1 else
-                     (lambda b, ty, tx, c: (0, c, 0)),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, chunk, 32),
-                     (lambda b, ty, tx, c: (b, c, 0)) if Bc > 1 else
-                     (lambda b, ty, tx, c: (0, c, 0)),
-                     memory_space=pltpu.VMEM),
-    ]
-    inputs = [ranges, caabb, gaabb, rec_s]
+    # Scalar-prefetch chunk remap: enqueue only the chunks whose AABB
+    # overlaps each tile, so the auto-pipelined chunk DMA never fetches
+    # dead work (the index map repeats the previous block for padded
+    # steps, which skips the copy). Gated by SMEM capacity.
+    n_tiles = nty * ntx
+    use_remap = Bc * n_tiles * nc <= _REMAP_MAX_ENTRIES and nc > 1
+    if use_remap:
+        ty0g = (jnp.arange(nty, dtype=jnp.float32) * TILE_H)[:, None]
+        tx0g = (jnp.arange(ntx, dtype=jnp.float32) * tile_w)[None, :]
+        cy0 = caabb[..., 1][:, None, None, :]  # [Bc, 1, 1, nc]
+        cy1 = caabb[..., 3][:, None, None, :]
+        cx0 = caabb[..., 0][:, None, None, :]
+        cx1 = caabb[..., 2][:, None, None, :]
+        hit = ((cy0 <= (ty0g + (TILE_H - 1))[None, :, :, None])
+               & (cy1 >= ty0g[None, :, :, None])
+               & (cx0 <= (tx0g + (tile_w - 1))[None, :, :, None])
+               & (cx1 >= tx0g[None, :, :, None]))  # [Bc, nty, ntx, nc]
+        hit = hit.reshape(Bc, n_tiles, nc)
+        counts = hit.sum(axis=-1).astype(jnp.int32)  # [Bc, n_tiles]
+        remap = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
+
+    kernel = _make_kernel(xs_, xo_, ys_, yo_, nc, gpc, tile_w, has_peel,
+                          use_remap, ntx, Bc > 1)
+
+    def _b(b):
+        return b if Bc > 1 else 0
+
+    if use_remap:
+        def chunk_of(b, ty, tx, c, remap_ref, cnt_ref):
+            t = ty * ntx + tx
+            cc = jnp.minimum(c, jnp.maximum(cnt_ref[_b(b), t] - 1, 0))
+            return remap_ref[_b(b), t, cc]
+
+        in_specs = [
+            pl.BlockSpec((1, 8, 2),
+                         lambda b, ty, tx, c, r_, n_: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, gpc, 4),
+                         lambda b, ty, tx, c, r_, n_: (
+                             _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, 32),
+                         lambda b, ty, tx, c, r_, n_: (
+                             _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = [ranges, gaabb, rec_s]
+        peel_im = lambda b, ty, tx, c, r_, n_: (b, ty, tx)
+        out_im = lambda b, ty, tx, c, r_, n_: (b, ty, tx)
+    else:
+        in_specs = [
+            pl.BlockSpec((1, 8, 2), lambda b, ty, tx, c: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nc, 4),
+                         lambda b, ty, tx, c: (_b(b), 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, gpc, 4),
+                         lambda b, ty, tx, c: (_b(b), c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, 32),
+                         lambda b, ty, tx, c: (_b(b), c, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = [ranges, caabb, gaabb, rec_s]
+        peel_im = lambda b, ty, tx, c: (b, ty, tx)
+        out_im = lambda b, ty, tx, c: (b, ty, tx)
+
     if has_peel:
         peel_p = peel_depth
         if (Hp, Wp) != (H, W):
             peel_p = jnp.pad(peel_depth, ((0, 0), (0, Hp - H), (0, Wp - W)),
                              constant_values=jnp.inf)
         in_specs.append(pl.BlockSpec(
-            (1, TILE_H, tile_w), lambda b, ty, tx, c: (b, ty, tx),
-            memory_space=pltpu.VMEM))
+            (1, TILE_H, tile_w), peel_im, memory_space=pltpu.VMEM))
         inputs.append(peel_p)
 
-    out_spec = pl.BlockSpec((1, TILE_H, tile_w),
-                            lambda b, ty, tx, c: (b, ty, tx),
+    out_spec = pl.BlockSpec((1, TILE_H, tile_w), out_im,
                             memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)] * 9
 
     grid = (B, nty, ntx, nc)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[out_spec] * 9,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((TILE_H, tile_w), jnp.float32)] * 3,
-        interpret=interpret,
-    )(*inputs)
+    scratch = [pltpu.VMEM((TILE_H, tile_w), jnp.float32)] * 3
+    if use_remap:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out_spec] * 9,
+            scratch_shapes=scratch,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(remap, counts, *inputs)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out_spec] * 9,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*inputs)
 
     u, v, zw, idf, dudx, dudy, dvdx, dvdy, zbuf = [
         o[:, :H, :W] for o in outs]
