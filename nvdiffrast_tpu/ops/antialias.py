@@ -176,11 +176,14 @@ def _pair_select(rast_flat, d, B, H, W, T, instance_mode):
     tri_ok = (tsel >= 0) & (tsel < T)
     active = work & tri_ok
     tid = jnp.where(tri_ok, tsel, 0)
+    # Inactive pixels point at their (clamped) local triangle rather
+    # than a shared dummy column: the gathered values are masked out
+    # downstream, and keeping ids spatially coherent preserves
+    # table_take's per-block id-range skipping.
     if instance_mode:
-        boff = (pix // (H * W)) * T
-        rid = jnp.where(active, tid + boff, B * T)
+        rid = tid + (pix // (H * W)) * T
     else:
-        rid = jnp.where(active, tid, T)
+        rid = tid
 
     # Pixel coords, possibly shifted to the neighbor (antialias.cu:252-257).
     shift = is_t1.astype(jnp.float32)
@@ -323,9 +326,9 @@ def _bwd_rid(rast_flat, alpha, tri1, d, B, H, W, T, instance_mode):
     tid = jnp.where(ok, tsel, 0)
     pix = jnp.arange(N, dtype=jnp.int32)
     if instance_mode:
-        rid = jnp.where(ok, tid + (pix // (H * W)) * T, B * T)
+        rid = tid + (pix // (H * W)) * T  # inactive -> local id (masked)
     else:
-        rid = jnp.where(ok, tid, T)
+        rid = tid
     return rid, ok
 
 
