@@ -106,3 +106,28 @@ def table_take(tbl_t, rid, impl="auto"):
     if not use_pallas:
         return jnp.take(tbl_t, rid, axis=1)
     return _take_pallas(tbl_t, rid, interpret=(impl == "pallas_interpret"))
+
+
+@jax.custom_vjp
+def table_take_vjp(tbl_t, rid):
+    """Differentiable table_take: gradients flow to the table.
+
+    The VJP of a gather is a scatter-add by the same ids — exactly
+    `scatter_add_by_id`, so both directions run on the fast kernels.
+    """
+    return table_take(tbl_t, rid)
+
+
+def _tt_fwd(tbl_t, rid):
+    return table_take(tbl_t, rid), (rid, tbl_t.shape[1])
+
+
+def _tt_bwd(res, ct):
+    rid, T = res
+    from .scatter import scatter_add_by_id
+
+    g_tbl = scatter_add_by_id(rid, ct, T).T  # [K, T]
+    return (g_tbl, None)
+
+
+table_take_vjp.defvjp(_tt_fwd, _tt_bwd)

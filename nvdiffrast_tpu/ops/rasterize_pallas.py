@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 64
 LANE = 128
-MAX_TILE_W = 2048
+MAX_TILE_W = 1024
 GROUP = 8
 SLAB_H = 16
 MAX_CHUNK = 512

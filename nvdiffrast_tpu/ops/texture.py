@@ -284,6 +284,9 @@ def _gather(flat, idx, valid):
 
     idx/valid are flat [N]-shaped (SoA) — one gather per texel corner,
     never a [.., 4, C] tiny-dim tensor (TPU tile-padding poison).
+    Stays on XLA's gather: texel ids mix mip levels, so their per-block
+    range defeats the Pallas lookup kernel's chunk skipping (measured
+    4x slower even on coherent uvs).
     """
     idx_safe = jnp.where(valid, idx, 0)
     vals = flat[idx_safe]
