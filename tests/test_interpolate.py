@@ -119,3 +119,50 @@ def test_range_mode_attrs():
     covered = np.asarray(rast[..., 3]) > 0
     vals = np.asarray(out[..., 0])[covered]
     assert (vals >= 1.0 - 1e-5).all() and (vals <= 3.0 + 1e-5).all()
+
+
+def test_attr_broadcast_gradient_sums_over_minibatch():
+    """A [1, V, A] attribute broadcast over B images accumulates
+    gradient contributions from every image (reference semantics)."""
+    import jax
+    import nvdiffrast_tpu as dr
+
+    pos1 = jnp.array(
+        [[[-0.8, -0.8, 0.0, 1.0], [0.8, -0.8, 0.0, 1.0],
+          [-0.8, 0.8, 0.0, 1.0]]], jnp.float32)
+    pos = jnp.concatenate([pos1, pos1], axis=0)  # two identical views
+    tri = jnp.array([[0, 1, 2]], jnp.int32)
+    attr = jnp.array([[[1.0], [2.0], [3.0]]], jnp.float32)  # [1, 3, 1]
+
+    rast, _ = dr.rasterize(None, pos, tri, (32, 32))
+
+    def loss_b(a):
+        out, _ = dr.interpolate(a, rast, tri)
+        return jnp.sum(out)
+
+    def loss_1(a):
+        out, _ = dr.interpolate(a, rast[:1], tri)
+        return jnp.sum(out)
+
+    g_b = jax.grad(loss_b)(attr)
+    g_1 = jax.grad(loss_1)(attr)
+    assert g_b.shape == attr.shape
+    np.testing.assert_allclose(np.asarray(g_b), 2 * np.asarray(g_1),
+                               rtol=1e-6)
+
+
+def test_negative_diff_attrs_indices():
+    import nvdiffrast_tpu as dr
+
+    pos = jnp.array(
+        [[[-0.8, -0.8, 0.0, 1.0], [0.8, -0.8, 0.0, 1.0],
+          [-0.8, 0.8, 0.0, 1.0]]], jnp.float32)
+    tri = jnp.array([[0, 1, 2]], jnp.int32)
+    attr = jnp.array([[0.0, 1.0, 2.0], [1.0, 0.0, 3.0], [0.0, 0.0, 4.0]],
+                     jnp.float32)
+    rast, rast_db = dr.rasterize(None, pos, tri, (32, 32))
+    _, da_neg = dr.interpolate(attr, rast, tri, rast_db=rast_db,
+                               diff_attrs=[-1])
+    _, da_pos = dr.interpolate(attr, rast, tri, rast_db=rast_db,
+                               diff_attrs=[2])
+    np.testing.assert_allclose(np.asarray(da_neg), np.asarray(da_pos))
