@@ -539,6 +539,29 @@ def antialias(color, rast, pos, tri, topology_hash=None,
     pos = jnp.asarray(pos, jnp.float32)
     tri = jnp.asarray(tri, jnp.int32)
 
+    # Host-side shape validation (reference: torch_antialias.cpp:79-86).
+    if color.ndim != 4 or rast.ndim != 4 or rast.shape[3] != 4:
+        raise ValueError(
+            f"antialias: color must be [minibatch, H, W, C] and rast "
+            f"[minibatch, H, W, 4]; got {color.shape}, {rast.shape}")
+    if color.shape[:3] != rast.shape[:3]:
+        raise ValueError(
+            f"antialias: color {color.shape} and rast {rast.shape} "
+            f"minibatch/resolution mismatch")
+    if pos.ndim not in (2, 3) or pos.shape[-1] != 4:
+        raise ValueError(
+            f"antialias: pos must be [V, 4] or [minibatch, V, 4]; "
+            f"got {pos.shape}")
+    if pos.ndim == 3 and pos.shape[0] != color.shape[0]:
+        # The instance-mode row lookup indexes a [minibatch*T] table; a
+        # mismatched pos minibatch would silently gather clamped rows.
+        raise ValueError(
+            f"antialias: instanced pos minibatch {pos.shape[0]} != "
+            f"color minibatch {color.shape[0]}")
+    if tri.ndim != 2 or tri.shape[1] != 3:
+        raise ValueError(
+            f"antialias: tri must be [num_triangles, 3]; got {tri.shape}")
+
     if topology_hash is not None:
         assert isinstance(topology_hash, TopologyHashWrapper)
         op_table = topology_hash.op_table

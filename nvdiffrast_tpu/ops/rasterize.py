@@ -685,6 +685,51 @@ _rasterize_prim.defvjp(_rasterize_prim_fwd, _rasterize_prim_bwd)
 # Public op.
 # ---------------------------------------------------------------------------
 
+def _check_rasterize_args(pos, tri, resolution, ranges):
+    """Host-side argument validation.
+
+    Mirrors the reference's NVDR_CHECK blocks
+    (csrc/torch/torch_rasterize.cpp:50-57): shape/dtype checks always;
+    triangle-index range checks when values are concrete (skipped for
+    tracers — under jit the gathers clamp, matching device behavior).
+    """
+    if pos.ndim not in (2, 3) or pos.shape[-1] != 4 or pos.shape[-2] == 0:
+        raise ValueError(
+            "rasterize: pos must be [num_vertices, 4] (range mode) or "
+            f"[minibatch, num_vertices, 4] (instanced); got {pos.shape}")
+    if tri.ndim != 2 or tri.shape[1] != 3:
+        raise ValueError(
+            f"rasterize: tri must be [num_triangles, 3]; got {tri.shape}")
+    if tri.shape[0] >= (1 << 24):
+        # Reference capacity bar: 2^24 subtriangles
+        # (csrc/common/cudaraster/impl/Constants.hpp:30). The fused
+        # kernel's triangle-id records share the same contract; fail
+        # loudly instead of silently degrading to an O(T*N) scan.
+        raise ValueError(
+            f"rasterize: triangle count {tri.shape[0]} exceeds the "
+            f"2**24 capacity limit (reference parity: CR_MAXSUBTRIS)")
+    h, w = resolution
+    if h <= 0 or w <= 0:
+        raise ValueError(f"rasterize: invalid resolution {resolution}")
+    if pos.ndim == 2:
+        if ranges is None or ranges.ndim != 2 or ranges.shape[1] != 2:
+            raise ValueError(
+                "rasterize: range mode requires ranges [minibatch, 2]; "
+                f"got {None if ranges is None else ranges.shape}")
+    if not isinstance(tri, jax.core.Tracer) and tri.size:
+        # numpy (not jnp) so the reduction never joins an ambient trace.
+        import numpy as np
+
+        tri_np = np.asarray(tri)
+        v = pos.shape[-2]
+        tmin = int(tri_np.min())
+        tmax = int(tri_np.max())
+        if tmin < 0 or tmax >= v:
+            raise ValueError(
+                f"rasterize: triangle indices out of range [0, {v}): "
+                f"min {tmin}, max {tmax}")
+
+
 def rasterize(glctx, pos, tri, resolution, ranges=None, grad_db=True,
               chunk=_DEFAULT_CHUNK, impl="auto"):
     """Rasterize triangles.
@@ -730,6 +775,7 @@ def rasterize(glctx, pos, tri, resolution, ranges=None, grad_db=True,
         # Full-window placeholder (the fused kernel masks ids against it).
         ranges = jnp.broadcast_to(
             jnp.array([[0, tri.shape[0]]], jnp.int32), (pos.shape[0], 2))
+    _check_rasterize_args(pos, tri, resolution, ranges)
 
     with jax.named_scope("nvdiffrast.rasterize"):
         out, out_db, _zbuf = _rasterize_prim(
@@ -763,6 +809,7 @@ class DepthPeeler:
             self.ranges = jnp.broadcast_to(
                 jnp.array([[0, self.tri.shape[0]]], jnp.int32),
                 (self.pos.shape[0], 2))
+        _check_rasterize_args(self.pos, self.tri, self.resolution, self.ranges)
         self.grad_db = grad_db
         self.chunk = int(chunk)
         self.impl = impl

@@ -107,8 +107,12 @@ def shard_map_train_step(loss_fn, optimizer, mesh, dp_axis="dp"):
 
     def per_shard(params, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-        grads = jax.lax.psum(grads, dp_axis)
-        loss = jax.lax.psum(loss, dp_axis) / n_dp
+        # pmean (not psum): each shard computes the mean loss over its
+        # local minibatch slice, so the global-mean-loss gradient is the
+        # mean of the shard gradients. A bare psum would scale the
+        # applied gradient by n_dp relative to the reported loss.
+        grads = jax.lax.pmean(grads, dp_axis)
+        loss = jax.lax.pmean(loss, dp_axis)
         return loss, grads
 
     batch_spec = P(dp_axis)

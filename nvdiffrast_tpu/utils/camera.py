@@ -44,15 +44,26 @@ def rotate_y(a):
         [0, 0, 0, 1]], dtype=np.float32)
 
 
+def _quat_to_rot3(q):
+    """Unit quaternion (w, x, y, z) -> 3x3 rotation matrix (numpy)."""
+    w, x, y, z = (float(v) for v in q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], dtype=np.float64)
+
+
 def random_rotation_translation(t, rng=None):
-    """Random rigid transform; Gram-Schmidt-ish like the reference."""
+    """Uniform random rotation + uniform translation in [-t, t]^3.
+
+    Returns a 4x4 rigid transform. The rotation is Haar-uniform on
+    SO(3): a uniform unit quaternion (normalized 4-D Gaussian) mapped
+    through the standard quaternion-to-matrix formula.
+    """
     rng = rng or np.random
-    m = rng.normal(size=[3, 3])
-    m[1] = np.cross(m[0], m[2])
-    m[2] = np.cross(m[0], m[1])
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    m = np.pad(m, [[0, 1], [0, 1]], mode="constant")
-    m[3, 3] = 1.0
+    m = np.eye(4)
+    m[:3, :3] = _quat_to_rot3(q_rnd(rng))
     m[:3, 3] = rng.uniform(-t, t, size=[3])
     return m.astype(np.float32)
 
@@ -73,22 +84,39 @@ def q_unit():
 
 
 def q_rnd(rng=None):
+    """Uniform random unit quaternion (Haar measure on SO(3)).
+
+    A 4-D isotropic Gaussian normalized to the unit sphere is exactly
+    uniform on S^3; resample in the (measure-zero) degenerate case.
+    """
     rng = rng or np.random
-    u, v, w = rng.uniform(0.0, 1.0, size=[3])
-    v *= 2.0 * np.pi
-    w *= 2.0 * np.pi
-    return np.asarray([
-        (1.0 - u) ** 0.5 * np.sin(v),
-        (1.0 - u) ** 0.5 * np.cos(v),
-        u ** 0.5 * np.sin(w),
-        u ** 0.5 * np.cos(w)], np.float32)
+    while True:
+        q = rng.normal(size=[4])
+        n = np.linalg.norm(q)
+        if n > 1e-6:
+            return (q / n).astype(np.float32)
 
 
 def q_scale_small(q, scale, rng=None):
-    """Small random rotation: slerp from identity by `scale`."""
-    rng = rng or np.random
-    out = q_unit() + scale * (q - q_unit())
-    return out / np.linalg.norm(out)
+    """Shrink rotation `q` toward the identity by factor `scale`.
+
+    Implemented as a spherical interpolation slerp(identity, q, scale),
+    taking the short arc, so the rotation angle scales (approximately)
+    linearly with `scale`.
+    """
+    del rng
+    q = np.asarray(q, np.float64)
+    if q[0] < 0.0:  # short arc: identity is (1,0,0,0)
+        q = -q
+    cos_o = np.clip(q[0], -1.0, 1.0)
+    omega = np.arccos(cos_o)
+    if omega < 1e-6:
+        out = q_unit() + scale * (q - q_unit())
+    else:
+        s = np.sin(omega)
+        out = (np.sin((1.0 - scale) * omega) / s) * q_unit() \
+            + (np.sin(scale * omega) / s) * q
+    return (out / np.linalg.norm(out)).astype(np.float32)
 
 
 def q_mul(p, q):

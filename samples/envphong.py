@@ -27,8 +27,8 @@ def main():
 
     model = EnvPhongFitModel(res=args.res, env_res=args.env_res)
     model.fit(max_iter=args.max_iter, log_interval=args.log_interval)
-    img_rmse, exp_rel_err = model.metrics()
-    print(f"final phong RGB RMSE: {img_rmse:.6f}, "
+    env_rmse, img_rmse, exp_rel_err = model.metrics()
+    print(f"final env RMSE: {env_rmse:.6f}, phong RGB RMSE: {img_rmse:.6f}, "
           f"exponent relative error: {exp_rel_err:.6f}")
 
 

@@ -17,8 +17,16 @@ if _flag not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _flag).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import pathlib
+
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture
+def repo_root():
+    return pathlib.Path(__file__).resolve().parent.parent
