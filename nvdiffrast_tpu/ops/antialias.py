@@ -9,12 +9,19 @@ TPU-native re-design of the reference antialias op
   (antialias.cu:165-382) become **dense masked compute** over all
   horizontal and vertical pixel pairs — the TPU idiom replacing
   dynamic work queues; inactive pairs simply contribute zero.
-* Data flow is flat-SoA (same design as rasterize/interpolate): all
-  per-pixel state is [N] / [N, K] with the pixel axis major, the
-  per-triangle screen-space geometry (own + opposite vertices, with
-  the silhouette fold ov=own handled per triangle) is ONE row-gather
-  from a [T(+1), 12] table, and neighbor access is a flat roll with
-  border masking instead of image-shaped shifts.
+* The wing-sign silhouette test (antialias.cu:321-328) is
+  **pixel-independent** — the pixel center cancels in the vertex
+  differences — so it is precomputed per triangle into a sign bitmask,
+  shrinking the per-pixel gather from 12 floats to 7.
+* Data flow is flat-SoA: per-pixel state is [N] with the pixel axis
+  major; the per-triangle screen geometry is one row-gather from a
+  [7, T(+1)] table; neighbor access is a flat roll with border folding
+  (border pixels see their own value, which disables the pair).
+* On TPU the whole per-pair analysis — id decode, table gather,
+  alpha/di computation, color blending — runs in one fused Pallas
+  kernel per pass (:mod:`nvdiffrast_tpu.ops.antialias_pallas`); the
+  XLA path below shares the same pointwise math functions and serves
+  CPU/debugging.
 * Color updates use rolled adds instead of atomics; position
   gradients reduce pixels -> triangle rows on the MXU (one-hot
   matmul) then triangle -> vertex with a tiny scatter.
@@ -32,12 +39,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import coord
 from .gather import table_take
 from .scatter import scatter_add_by_id
 from .topology import build_opposite_table
 
-_F32_MAX = jnp.float32(3.402823466e38)
+_F32_MAX = 3.402823466e38  # plain float: kernels must not capture arrays
 
 
 def _int_zero_ct(x):
@@ -76,12 +82,15 @@ def antialias_construct_topology_hash(tri):
 
 
 # ---------------------------------------------------------------------------
-# Shared helpers (bit-faithful sign/rational comparisons,
-# antialias.cu:14-25).
+# Shared pointwise pair math — used verbatim by BOTH the XLA path and
+# the fused Pallas kernels (antialias_pallas.py), guaranteeing parity.
+# All inputs are same-shaped float32/int32/bool arrays; `d` and sizes
+# are static Python values. Bit-faithful sign/rational comparisons
+# follow antialias.cu:14-25.
 # ---------------------------------------------------------------------------
 
 def _same_sign(a, b):
-    return jnp.signbit(a) == jnp.signbit(b)
+    return (a < 0) == (b < 0)
 
 
 def _rational_gt(n0, n1, d0, d1):
@@ -95,139 +104,62 @@ def _max_idx3(n0, n1, n2, d0, d1, d2):
     return jnp.where(g20 & g21, 2, jnp.where(g10, 1, 0))
 
 
-def _roll_prev(x, stride):
-    """x at the neighbor pixel (p + stride); tail garbage is masked."""
-    return jnp.concatenate([x[stride:], x[-stride:]], axis=0)
+def pair_ids(idf0, idf1, z0, z1, T):
+    """Triangle choice for a pixel pair (antialias.cu:243-257).
 
+    `idf1`/`z1` are the neighbor pixel's values with image borders
+    folded to the pixel's own values (disabling the pair). Triangle
+    ids are float-exact (< 2^24, enforced at the rasterize boundary).
 
-def _roll_next(x, stride):
-    """Scatter from p onto p + stride (zero-filled head)."""
-    pad_shape = (stride,) + x.shape[1:]
-    return jnp.concatenate([jnp.zeros(pad_shape, x.dtype), x[:-stride]],
-                           axis=0)
-
-
-def _build_tables(pos, tri, op_table, instance_mode, H, W):
-    """Per-triangle screen/clip tables (channel-major) + dummy column.
-
-    Returns (ftable [12, (B*)T+1], btable [9, (B*)T+1], R, T).
-    ftable: own-vertex screen (SX*3, SY*3), opposite screen (OX*3, OY*3),
-    with the silhouette fold (missing opposite -> own vertex e).
-    btable: raw clip (x, y, w) per vertex for the backward.
+    Returns (tid, is_t1, active): clamped table id, whether the
+    neighbor's triangle was selected, and the pair-active mask.
     """
-    T = tri.shape[0]
-    xh = 0.5 * W
-    yh = 0.5 * H
-    ov = jnp.where(op_table >= 0, op_table, tri)  # [T, 3]
-
-    if instance_mode:
-        tv = pos[:, tri]  # [B, T, 3, 4]
-        o = pos[:, ov]
-    else:
-        tv = pos[tri]
-        o = pos[ov]
-
-    def screen(q):
-        iw = 1.0 / q[..., 3]
-        return q[..., 0] * iw * xh, q[..., 1] * iw * yh
-
-    sx, sy = screen(tv)
-    ox, oy = screen(o)
-    ftable = jnp.concatenate([sx, sy, ox, oy], axis=-1).reshape(-1, 12).T
-    btable = tv[..., jnp.array([0, 1, 3])].reshape(-1, 9).T
-    R = ftable.shape[1]
-    ftable = jnp.concatenate([ftable, jnp.zeros((12, 1), jnp.float32)], 1)
-    btable = jnp.concatenate([btable, jnp.zeros((9, 1), jnp.float32)], 1)
-    return ftable, btable, R, T
-
-
-def _pair_select(rast_flat, d, B, H, W, T, instance_mode):
-    """Shared fwd/bwd pair analysis: which triangle, which pixel.
-
-    Returns dict of flat [N] arrays: active-ish mask pieces, rid, tri1
-    flag, pixel-space (fx, fy) of the chosen pixel.
-    """
-    N = B * H * W
-    stride = 1 if d == 0 else W
-
-    idf0 = rast_flat[:, 3]
-    idf1 = _roll_prev(idf0, stride)
-    z0 = rast_flat[:, 2]
-    z1 = _roll_prev(z0, stride)
-
-    pix = jnp.arange(N, dtype=jnp.int32)
-    colp = pix % W
-    rowp = (pix // W) % H
-    if d == 0:
-        border = colp >= W - 1
-    else:
-        border = rowp >= H - 1
-    work = (idf1 != idf0) & ~border
-
-    tri0 = coord.float_to_triidx(idf0) - 1
-    tri1i = coord.float_to_triidx(idf1) - 1
-
-    # Select triangle based on background / depth (antialias.cu:249-257).
-    tsel = jnp.where(tri0 >= 0, tri0, tri1i)
-    both = (tri0 >= 0) & (tri1i >= 0)
-    tsel = jnp.where(both, jnp.where(z0 < z1, tri0, tri1i), tsel)
-    is_t1 = tsel == tri1i  # note: work guarantees tri0 != tri1i
-
+    tri0 = idf0.astype(jnp.int32) - 1
+    tri1 = idf1.astype(jnp.int32) - 1
+    work = idf1 != idf0
+    tsel = jnp.where(tri0 >= 0, tri0, tri1)
+    both = (tri0 >= 0) & (tri1 >= 0)
+    tsel = jnp.where(both, jnp.where(z0 < z1, tri0, tri1), tsel)
+    is_t1 = tsel == tri1  # work guarantees tri0 != tri1 when it matters
     tri_ok = (tsel >= 0) & (tsel < T)
     active = work & tri_ok
+    # Inactive pixels keep their (clamped) local id rather than a
+    # shared dummy: gathered values are masked downstream, and
+    # spatially coherent ids keep the gather's id-range skip tight.
     tid = jnp.where(tri_ok, tsel, 0)
-    # Inactive pixels point at their (clamped) local triangle rather
-    # than a shared dummy column: the gathered values are masked out
-    # downstream, and keeping ids spatially coherent preserves
-    # table_take's per-block id-range skipping.
-    if instance_mode:
-        rid = tid + (pix // (H * W)) * T
-    else:
-        rid = tid
+    return tid, is_t1, active
 
-    # Pixel coords, possibly shifted to the neighbor (antialias.cu:252-257).
+
+def pair_alpha(t7, fx, fy, is_t1, active, d):
+    """Edge crossing analysis for one pixel pair (antialias.cu:300-371).
+
+    Args:
+      t7: 7 gathered per-pixel arrays (sx0, sx1, sx2, sy0, sy1, sy2,
+        sign bitmask) from the forward table.
+      fx, fy: pixel-center coordinates relative to image center,
+        *unshifted* (the is_t1 neighbor shift is applied here).
+      is_t1, active: from `pair_ids`.
+      d: 0 = horizontal pair (right neighbor), 1 = vertical (down).
+
+    Returns (alpha, di): blend weight (0 when inactive) and the edge
+    index used, needed again by the backward pass.
+    """
+    sx0, sx1, sx2, sy0, sy1, sy2, sbits = t7
     shift = is_t1.astype(jnp.float32)
-    px = colp.astype(jnp.float32) + shift * (1 - d)
-    py = rowp.astype(jnp.float32) + shift * d
-    fx = px + 0.5 - 0.5 * W
-    fy = py + 0.5 - 0.5 * H
-    return dict(active=active, rid=rid, is_t1=is_t1, fx=fx, fy=fy,
-                idf0=idf0, idf1=idf1, stride=stride)
+    fxs = fx + shift * (1 - d)
+    fys = fy + shift * d
 
+    x0 = sx0 - fxs
+    x1 = sx1 - fxs
+    x2 = sx2 - fxs
+    y0 = sy0 - fys
+    y1 = sy1 - fys
+    y2 = sy2 - fys
 
-# ---------------------------------------------------------------------------
-# Per-axis analysis (dense, flat SoA). axis d: 0 = right neighbor, 1 = down.
-# ---------------------------------------------------------------------------
-
-def _analyze_axis(color_cols, sel, t12, d, B, H, W):
-    """Per-pixel-pair AA state for one axis (all flat 1D [N] arrays)."""
-    active = sel["active"]
-    fx = sel["fx"]
-    fy = sel["fy"]
-    is_t1 = sel["is_t1"]
-    stride = sel["stride"]
-
-    x0 = t12[0] - fx
-    x1 = t12[1] - fx
-    x2 = t12[2] - fx
-    y0 = t12[3] - fy
-    y1 = t12[4] - fy
-    y2 = t12[5] - fy
-    ox0 = t12[6] - fx
-    ox1 = t12[7] - fx
-    ox2 = t12[8] - fx
-    oy0 = t12[9] - fy
-    oy1 = t12[10] - fy
-    oy2 = t12[11] - fy
-
-    # Wing signs kill non-silhouette edges (antialias.cu:321-328).
-    bb = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    a0 = (x1 - ox0) * (y2 - oy0) - (x2 - ox0) * (y1 - oy0)
-    a1 = (x2 - ox1) * (y0 - oy1) - (x0 - ox1) * (y2 - oy1)
-    a2 = (x0 - ox2) * (y1 - oy2) - (x1 - ox2) * (y0 - oy2)
-    s0 = _same_sign(a0, bb)
-    s1 = _same_sign(a1, bb)
-    s2 = _same_sign(a2, bb)
+    sb = sbits.astype(jnp.int32)
+    s0 = (sb & 1) != 0
+    s1 = (sb & 2) != 0
+    s2 = (sb & 4) != 0
     any_sil = s0 | s1 | s2
 
     # XY flip for horizontal edges (vertical pairs).
@@ -274,90 +206,23 @@ def _analyze_axis(color_cols, sel, t12, d, B, H, W):
     dcc = jnp.clip(dc, 0.0, 1.0)
     alpha = jnp.where(active, ds * (0.5 - dcc), 0.0)
     alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-
-    # Per-channel 1D contributions (no lane-padded [N, 1] masks).
-    contrib = [alpha * (_roll_prev(c, stride) - c) for c in color_cols]
-    return alpha, di, is_t1, contrib, stride
+    return alpha, di
 
 
-def _aa_forward_core(color, rast, pos, tri, op_table):
-    instance_mode = pos.ndim > 2
-    B, H, W, C = color.shape
-    N = B * H * W
-    ftable, _, R, T = _build_tables(pos, tri, op_table, instance_mode, H, W)
+def pair_pos_grad(t9, dd, ok, di, is_t1, fx, fy, d, W, H):
+    """Analytic d(alpha)/d(p1,p2) routed into 9 per-triangle columns
+    (antialias.cu:464-546). `t9` are the gathered clip-space rows
+    (x, y, w per vertex); `dd` is the color-dot weight; `ok` masks
+    pixels with real work; saturation kill is applied by the caller
+    (it needs alpha).
 
-    cflat = color.reshape(N, C)
-    ccols = [cflat[:, c] for c in range(C)]
-    rflat = rast.reshape(N, 4)
-
-    # One batched table lookup for both axes.
-    sels = [_pair_select(rflat, d, B, H, W, T, instance_mode) for d in (0, 1)]
-    t12_all = table_take(
-        ftable, jnp.concatenate([sels[0]["rid"], sels[1]["rid"]]))
-    t12s = (t12_all[:, :N], t12_all[:, N:])
-
-    out = list(ccols)
-    res = []
-    for d in (0, 1):
-        alpha, di, tri1, contrib, stride = _analyze_axis(
-            ccols, sels[d], t12s[d], d, B, H, W)
-        apos = alpha > 0
-        for c in range(C):
-            pos_c = jnp.where(apos, contrib[c], 0.0)
-            neg_c = jnp.where(apos, 0.0, contrib[c])
-            out[c] = out[c] + pos_c + _roll_next(neg_c, stride)
-        res.extend([alpha, di, tri1])
-    return jnp.stack(out, axis=-1).reshape(B, H, W, C), tuple(res)
-
-
-# ---------------------------------------------------------------------------
-# Backward (re-derivation of AntialiasGradKernel, antialias.cu:387-556).
-# ---------------------------------------------------------------------------
-
-def _bwd_rid(rast_flat, alpha, tri1, d, B, H, W, T, instance_mode):
-    """Row id of the triangle the forward analysis used, per pixel."""
-    N = B * H * W
-    stride = 1 if d == 0 else W
-    idf0 = rast_flat[:, 3]
-    idf1 = _roll_prev(idf0, stride)
-    idf = jnp.where(tri1, idf1, idf0)
-    tsel = coord.float_to_triidx(idf) - 1
-    ok = (alpha != 0.0) & (tsel >= 0) & (tsel < T)
-    tid = jnp.where(ok, tsel, 0)
-    pix = jnp.arange(N, dtype=jnp.int32)
-    if instance_mode:
-        rid = tid + (pix // (H * W)) * T  # inactive -> local id (masked)
-    else:
-        rid = tid
-    return rid, ok
-
-
-def _aa_backward_axis(dy_cols, color_cols, t9, rid_ok, alpha, di,
-                      tri1, d, B, H, W):
-    N = B * H * W
-    stride = 1 if d == 0 else W
-    active = alpha != 0.0
-    apos = alpha > 0
-
-    # Per-channel: color cross-gradients (-v at pixel0, +v at pixel1,
-    # antialias.cu:449-462) and the position gradient weight dd.
-    g_color = []
-    dd = jnp.zeros((N,), jnp.float32)
-    for c in range(len(dy_cols)):
-        pdy_c = jnp.where(apos, dy_cols[c], _roll_prev(dy_cols[c], stride))
-        v_c = alpha * pdy_c
-        g_color.append(-v_c + _roll_next(v_c, stride))
-        dd = dd + pdy_c * (_roll_prev(color_cols[c], stride) - color_cols[c])
-    dd = jnp.where(active, dd, 0.0)
-
-    ok = rid_ok & (dd != 0.0)
-
+    Returns a list of 9 arrays: column 3*vert + comp of the gradient
+    table row.
+    """
     # Edge vertices (antialias.cu:470-474): i1 = di+1, i2 = di+2 (mod 3).
     i1 = jnp.where(di < 2, di + 1, 0)
     i2 = jnp.where(i1 < 2, i1 + 1, 0)
 
-    # btable layout from _build_tables: reshape of [T, 3(vert), 3(xyw)]
-    # -> row 3*vert + comp.
     def vert(idx, comp):
         r = t9[0 + comp]
         r = jnp.where(idx == 1, t9[3 + comp], r)
@@ -371,32 +236,26 @@ def _aa_backward_axis(dy_cols, color_cols, t9, rid_ok, alpha, di,
     p2y = vert(i2, 1)
     p2w = vert(i2, 2)
 
-    pix = jnp.arange(N, dtype=jnp.int32)
-    shift = tri1.astype(jnp.float32)
-    colp = (pix % W).astype(jnp.float32)
-    rowp = ((pix // W) % H).astype(jnp.float32)
-    px = colp + shift * (1 - d)
-    py = rowp + shift * d
-
+    shift = is_t1.astype(jnp.float32)
     pxh = 0.5 * W
     pyh = 0.5 * H
-    fx = px + 0.5 - pxh
-    fy = py + 0.5 - pyh
+    fxs = fx + shift * (1 - d)
+    fys = fy + shift * d
 
     if d == 1:
         p1x, p1y = p1y, p1x
         p2x, p2y = p2y, p2x
         pxh_, pyh_ = pyh, pxh
-        fx, fy = fy, fx
+        fxs, fys = fys, fxs
     else:
         pxh_, pyh_ = pxh, pyh
 
     w1 = 1.0 / p1w
     w2 = 1.0 / p2w
-    x1 = p1x * w1 * pxh_ - fx
-    y1 = p1y * w1 * pyh_ - fy
-    x2 = p2x * w2 * pxh_ - fx
-    y2 = p2y * w2 * pyh_ - fy
+    x1 = p1x * w1 * pxh_ - fxs
+    y1 = p1y * w1 * pyh_ - fys
+    x2 = p2x * w2 * pxh_ - fxs
+    y2 = p2y * w2 * pyh_ - fys
     dxe = x2 - x1
     dye = y2 - y1
     db = x1 * dye - y1 * dxe
@@ -418,56 +277,259 @@ def _aa_backward_axis(dy_cols, color_cols, t9, rid_ok, alpha, di,
         gp1x, gp1y = gp1y, gp1x
         gp2x, gp2y = gp2y, gp2x
 
-    # Saturated alpha kills position gradients (antialias.cu:542-546).
-    sat = jnp.abs(alpha) >= 0.5
-    keep = ok & ~sat
-
     # Route (g1, g2) into the per-triangle 9-column layout by edge
     # vertex index: column 3*vert + comp.
     g1 = [gp1x, gp1y, gp1w]
     g2 = [gp2x, gp2y, gp2w]
     cols = []
     for vtx in range(3):
-        m1 = (i1 == vtx) & keep
-        m2 = (i2 == vtx) & keep
+        m1 = (i1 == vtx) & ok
+        m2 = (i2 == vtx) & ok
         for comp in range(3):
             val = (jnp.where(m1, g1[comp], 0.0)
                    + jnp.where(m2, g2[comp], 0.0))
             cols.append(jnp.where(jnp.isfinite(val), val, 0.0))
-    gval = jnp.stack(cols, axis=0)  # [9, N] channel-major
-    return g_color, gval
+    return cols
 
 
-def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals):
-    (al0, di0, t10, al1, di1, t11) = residuals
+def decode_aux(aux):
+    """Residual aux value -> (di, is_t1). aux = di + 4 * is_t1."""
+    is_t1 = aux >= 3.5
+    di = (aux - 4.0 * is_t1.astype(jnp.float32)).astype(jnp.int32)
+    return di, is_t1
+
+
+# ---------------------------------------------------------------------------
+# Table construction.
+# ---------------------------------------------------------------------------
+
+def _build_tables(pos, tri, op_table, instance_mode, H, W):
+    """Per-triangle screen/clip tables (channel-major) + dummy column.
+
+    Returns (ftable [7, (B*)T+1], btable [9, (B*)T+1], R, T).
+    ftable: own-vertex screen (SX*3, SY*3) plus the per-triangle
+    wing-sign bitmask (the silhouette test of antialias.cu:321-328 is
+    pixel-independent: the pixel center cancels in the differences, so
+    it is evaluated here once per triangle). The silhouette fold
+    (missing opposite -> own vertex e) makes the wing sign match bb's,
+    classifying boundary edges as silhouettes like the reference's
+    hash-miss path.
+    btable: raw clip (x, y, w) per vertex for the backward.
+    """
+    T = tri.shape[0]
+    xh = 0.5 * W
+    yh = 0.5 * H
+    ov = jnp.where(op_table >= 0, op_table, tri)  # [T, 3]
+
+    if instance_mode:
+        tv = pos[:, tri]  # [B, T, 3, 4]
+        o = pos[:, ov]
+    else:
+        tv = pos[tri]
+        o = pos[ov]
+
+    def screen(q):
+        iw = 1.0 / q[..., 3]
+        return q[..., 0] * iw * xh, q[..., 1] * iw * yh
+
+    sx, sy = screen(tv)  # [.., T, 3]
+    ox, oy = screen(o)
+
+    bb = ((sx[..., 1] - sx[..., 0]) * (sy[..., 2] - sy[..., 0])
+          - (sx[..., 2] - sx[..., 0]) * (sy[..., 1] - sy[..., 0]))
+    a0 = ((sx[..., 1] - ox[..., 0]) * (sy[..., 2] - oy[..., 0])
+          - (sx[..., 2] - ox[..., 0]) * (sy[..., 1] - oy[..., 0]))
+    a1 = ((sx[..., 2] - ox[..., 1]) * (sy[..., 0] - oy[..., 1])
+          - (sx[..., 0] - ox[..., 1]) * (sy[..., 2] - oy[..., 1]))
+    a2 = ((sx[..., 0] - ox[..., 2]) * (sy[..., 1] - oy[..., 2])
+          - (sx[..., 1] - ox[..., 2]) * (sy[..., 0] - oy[..., 2]))
+    sbits = (_same_sign(a0, bb).astype(jnp.float32)
+             + 2.0 * _same_sign(a1, bb).astype(jnp.float32)
+             + 4.0 * _same_sign(a2, bb).astype(jnp.float32))
+
+    ftable = jnp.concatenate([sx, sy, sbits[..., None]],
+                             axis=-1).reshape(-1, 7).T
+    btable = tv[..., jnp.array([0, 1, 3])].reshape(-1, 9).T
+    R = ftable.shape[1]
+    ftable = jnp.concatenate([ftable, jnp.zeros((7, 1), jnp.float32)], 1)
+    btable = jnp.concatenate([btable, jnp.zeros((9, 1), jnp.float32)], 1)
+    return ftable, btable, R, T
+
+
+# ---------------------------------------------------------------------------
+# Flat-roll helpers (XLA path).
+# ---------------------------------------------------------------------------
+
+def _roll_prev(x, stride):
+    """x at the neighbor pixel (p + stride); tail garbage is masked."""
+    return jnp.concatenate([x[stride:], x[-stride:]], axis=0)
+
+
+def _roll_next(x, stride):
+    """Scatter from p onto p + stride (zero-filled head)."""
+    pad_shape = (stride,) + x.shape[1:]
+    return jnp.concatenate([jnp.zeros(pad_shape, x.dtype), x[:-stride]],
+                           axis=0)
+
+
+def _pixel_grid(B, H, W, T, instance_mode):
+    """(fx, fy, rofs, border_x, border_y) flat [N] arrays."""
+    N = B * H * W
+    pix = jnp.arange(N, dtype=jnp.int32)
+    colp = pix % W
+    rowp = (pix // W) % H
+    fx = colp.astype(jnp.float32) + (0.5 - 0.5 * W)
+    fy = rowp.astype(jnp.float32) + (0.5 - 0.5 * H)
+    if instance_mode:
+        rofs = (pix // (H * W)) * T
+    else:
+        rofs = jnp.zeros((N,), jnp.int32)
+    return fx, fy, rofs, colp >= W - 1, rowp >= H - 1
+
+
+def _fold_rolls(idf0, z0, B, H, W):
+    """Border-folded neighbor id/z for both axes."""
+    _, _, _, bx, by = _pixel_grid(B, H, W, 0, False)
+    idfx = jnp.where(bx, idf0, _roll_prev(idf0, 1))
+    idfy = jnp.where(by, idf0, _roll_prev(idf0, W))
+    zx = _roll_prev(z0, 1)
+    zy = _roll_prev(z0, W)
+    return (idfx, zx), (idfy, zy)
+
+
+# ---------------------------------------------------------------------------
+# Forward / backward cores.
+# ---------------------------------------------------------------------------
+
+def _use_fused(impl, C, R):
+    from . import antialias_pallas as ap
+
+    want = (impl in ("pallas", "pallas_interpret")
+            or (impl == "auto" and jax.default_backend() == "tpu"))
+    return want and ap.supported(C, R)
+
+
+def _aa_forward_core(color, rast, pos, tri, op_table, impl="auto"):
     instance_mode = pos.ndim > 2
     B, H, W, C = color.shape
     N = B * H * W
-    T = tri.shape[0]
-    V = pos.shape[1] if instance_mode else pos.shape[0]
+    ftable, _, R, T = _build_tables(pos, tri, op_table, instance_mode, H, W)
 
-    _, btable, R, _ = _build_tables(pos, tri, op_table, instance_mode, H, W)
+    if _use_fused(impl, C, R):
+        from . import antialias_pallas as ap
+
+        return ap.aa_forward_fused(
+            color, rast, ftable, T, instance_mode,
+            interpret=(impl == "pallas_interpret"))
+
     cflat = color.reshape(N, C)
     ccols = [cflat[:, c] for c in range(C)]
     rflat = rast.reshape(N, 4)
-    dyf = dy.reshape(N, C)
-    dycols = [dyf[:, c] for c in range(C)]
+    idf0 = rflat[:, 3]
+    z0 = rflat[:, 2]
+    fx, fy, rofs, _, _ = _pixel_grid(B, H, W, T, instance_mode)
+    nb = _fold_rolls(idf0, z0, B, H, W)
+
+    sels = []
+    rids = []
+    for d in (0, 1):
+        idf1, z1 = nb[d]
+        tid, is_t1, active = pair_ids(idf0, idf1, z0, z1, T)
+        sels.append((is_t1, active))
+        rids.append(tid + rofs)
 
     # One batched table lookup for both axes.
-    rid0, ok0 = _bwd_rid(rflat, al0, t10, 0, B, H, W, T, instance_mode)
-    rid1, ok1 = _bwd_rid(rflat, al1, t11, 1, B, H, W, T, instance_mode)
-    t9_all = table_take(btable, jnp.concatenate([rid0, rid1]))
-    gc0, gv0 = _aa_backward_axis(
-        dycols, ccols, t9_all[:, :N], ok0, al0, di0, t10, 0, B, H, W)
-    gc1, gv1 = _aa_backward_axis(
-        dycols, ccols, t9_all[:, N:], ok1, al1, di1, t11, 1, B, H, W)
-    g_color = jnp.stack(
-        [dycols[c] + gc0[c] + gc1[c] for c in range(C)],
-        axis=-1).reshape(B, H, W, C)
+    t7_all = table_take(ftable, jnp.concatenate(rids))
+    t7s = (t7_all[:, :N], t7_all[:, N:])
+
+    out = list(ccols)
+    res = []
+    for d in (0, 1):
+        stride = 1 if d == 0 else W
+        is_t1, active = sels[d]
+        alpha, di = pair_alpha(
+            [t7s[d][k] for k in range(7)], fx, fy, is_t1, active, d)
+        apos = alpha > 0
+        for c in range(C):
+            contrib = alpha * (_roll_prev(ccols[c], stride) - ccols[c])
+            out[c] = out[c] + jnp.where(apos, contrib, 0.0)
+            out[c] = out[c] + _roll_next(
+                jnp.where(apos, 0.0, contrib), stride)
+        aux = di.astype(jnp.float32) + 4.0 * is_t1.astype(jnp.float32)
+        res.extend([alpha, aux])
+    return jnp.stack(out, axis=-1).reshape(B, H, W, C), tuple(res)
+
+
+def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals,
+                      impl="auto"):
+    (al0, ax0, al1, ax1) = residuals
+    instance_mode = pos.ndim > 2
+    B, H, W, C = color.shape
+    N = B * H * W
+    V = pos.shape[1] if instance_mode else pos.shape[0]
+
+    _, btable, R, T = _build_tables(pos, tri, op_table, instance_mode, H, W)
+
+    if _use_fused(impl, C, R):
+        from . import antialias_pallas as ap
+
+        g_color, rid2, gval2 = ap.aa_backward_fused(
+            dy, color, rast, btable, residuals, T, instance_mode,
+            interpret=(impl == "pallas_interpret"))
+    else:
+        cflat = color.reshape(N, C)
+        ccols = [cflat[:, c] for c in range(C)]
+        rflat = rast.reshape(N, 4)
+        idf0 = rflat[:, 3]
+        dyf = dy.reshape(N, C)
+        dycols = [dyf[:, c] for c in range(C)]
+        fx, fy, rofs, _, _ = _pixel_grid(B, H, W, T, instance_mode)
+        nb = _fold_rolls(idf0, rflat[:, 2], B, H, W)
+
+        rids = []
+        oks = []
+        decs = []
+        for d, (al, ax) in enumerate(((al0, ax0), (al1, ax1))):
+            di, tri1 = decode_aux(ax)
+            idf1, _ = nb[d]
+            idf = jnp.where(tri1, idf1, idf0)
+            tsel = idf.astype(jnp.int32) - 1
+            ok = (al != 0.0) & (tsel >= 0) & (tsel < T)
+            tid = jnp.where(ok, tsel, 0)
+            rids.append(tid + rofs)
+            oks.append(ok)
+            decs.append((di, tri1))
+
+        t9_all = table_take(btable, jnp.concatenate(rids))
+        t9s = (t9_all[:, :N], t9_all[:, N:])
+
+        gcols = list(dycols)
+        gvals = []
+        for d, (al, ax) in enumerate(((al0, ax0), (al1, ax1))):
+            stride = 1 if d == 0 else W
+            di, tri1 = decs[d]
+            apos = al > 0
+            dd = jnp.zeros((N,), jnp.float32)
+            for c in range(C):
+                pdy = jnp.where(apos, dycols[c],
+                                _roll_prev(dycols[c], stride))
+                v = al * pdy
+                gcols[c] = gcols[c] - v + _roll_next(v, stride)
+                dd = dd + pdy * (_roll_prev(ccols[c], stride) - ccols[c])
+            dd = jnp.where(al != 0.0, dd, 0.0)
+            # Saturated alpha kills position gradients
+            # (antialias.cu:542-546).
+            keep = oks[d] & (dd != 0.0) & (jnp.abs(al) < 0.5)
+            cols = pair_pos_grad([t9s[d][k] for k in range(9)], dd, keep,
+                                 di, tri1, fx, fy, d, W, H)
+            gvals.append(jnp.stack(cols, axis=0))  # [9, N]
+
+        g_color = jnp.stack(gcols, axis=-1).reshape(B, H, W, C)
+        rid2 = jnp.concatenate(rids)
+        gval2 = jnp.concatenate(gvals, axis=1)  # [9, 2N]
 
     # Pixels -> triangle rows (MXU one-hot), both axes in one reduction.
-    gt = scatter_add_by_id(jnp.concatenate([rid0, rid1]),
-                           jnp.concatenate([gv0, gv1], axis=1), R)
+    gt = scatter_add_by_id(rid2, gval2, R)
     gt = gt.reshape(-1, T, 3, 3)  # [B?, T, vert, (x, y, w)]
 
     gv = jnp.zeros(gt.shape[:-1] + (4,), jnp.float32)
@@ -487,20 +549,23 @@ def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals):
 # custom_vjp wiring + public op.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _antialias_prim(color, rast, pos, tri, op_table, pos_gradient_boost):
-    out, _ = _aa_forward_core(color, rast, pos, tri, op_table)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _antialias_prim(color, rast, pos, tri, op_table, pos_gradient_boost,
+                    impl):
+    out, _ = _aa_forward_core(color, rast, pos, tri, op_table, impl)
     return out
 
-def _antialias_prim_fwd(color, rast, pos, tri, op_table, pos_gradient_boost):
-    out, res = _aa_forward_core(color, rast, pos, tri, op_table)
+
+def _antialias_prim_fwd(color, rast, pos, tri, op_table, pos_gradient_boost,
+                        impl):
+    out, res = _aa_forward_core(color, rast, pos, tri, op_table, impl)
     return out, (color, rast, pos, tri, op_table, res)
 
 
-def _antialias_prim_bwd(pos_gradient_boost, saved, dy):
+def _antialias_prim_bwd(pos_gradient_boost, impl, saved, dy):
     color, rast, pos, tri, op_table, res = saved
     g_color, g_pos = _aa_backward_core(dy, color, rast, pos, tri, op_table,
-                                       res)
+                                       res, impl)
     if pos_gradient_boost != 1.0:
         g_pos = g_pos * pos_gradient_boost
     g_rast = jnp.zeros_like(rast)
@@ -511,7 +576,7 @@ _antialias_prim.defvjp(_antialias_prim_fwd, _antialias_prim_bwd)
 
 
 def antialias(color, rast, pos, tri, topology_hash=None,
-              pos_gradient_boost=1.0):
+              pos_gradient_boost=1.0, impl="auto"):
     """Perform antialiasing.
 
     API parity with the reference op (nvdiffrast/torch/ops.py:489-526).
@@ -530,6 +595,7 @@ def antialias(color, rast, pos, tri, topology_hash=None,
             `antialias_construct_topology_hash()`.
         pos_gradient_boost: (Optional) multiplier for gradients
             propagated to `pos`.
+        impl: 'auto' | 'xla' | 'pallas' | 'pallas_interpret'.
 
     Returns:
         Antialiased image, same shape as `color`.
@@ -570,4 +636,4 @@ def antialias(color, rast, pos, tri, topology_hash=None,
 
     with jax.named_scope("nvdiffrast.antialias"):
         return _antialias_prim(color, rast, pos, tri, op_table,
-                               float(pos_gradient_boost))
+                               float(pos_gradient_boost), impl)

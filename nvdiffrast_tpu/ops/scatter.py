@@ -19,11 +19,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# One-hot matmul is O(N * R); past this table size the scatter lowering
-# wins despite its overhead.
+# The XLA one-hot matmul is O(N * R); past this table size the scatter
+# lowering wins despite its overhead.
 _ONEHOT_MAX_ROWS = 16384
+# The Pallas kernel sweeps only the per-chunk id window, so its compute
+# is O(N * window) and the cap is set by the VMEM accumulator, which
+# holds K * R floats regardless of the fold factor (8 MB budget).
+_PALLAS_MAX_ACC = 1 << 21
 _CHUNK = 1 << 15
 _P_CHUNK = 2048  # pixels per Pallas grid step
+_QW = 512        # one-hot window width (lanes) per sweep step
 
 
 def _cdiv(a, b):
@@ -35,22 +40,31 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
 
     The XLA one-hot path materializes the [N, R/F] one-hot matrix in
     HBM (~N*R/F*4 bytes of traffic — gigabytes at 4M pixels); here each
-    grid step builds its [P_CHUNK, QR] tile in registers, feeds the MXU
+    grid step builds its one-hot tile in registers, feeds the MXU
     directly, and accumulates the [F*K, QR] table in VMEM scratch.
     Values are split hi/lo into two bfloat16 matmuls (one-hot entries
     are exact in bf16), keeping ~2^-16 relative accuracy with f32
     accumulation while running the MXU at bf16 rate.
+
+    Large tables: each chunk sweeps only the _QW-lane windows its ids
+    actually touch (ids from rasterized pixels are spatially coherent,
+    so this is 1-2 windows per chunk), making compute O(N * window)
+    instead of O(N * R) — the equivalent of the reference's per-warp
+    triangle grouping in caAtomicAdd (common.h:198-260).
     """
     K, N = vals_t.shape
     Rf = _cdiv(num_rows, F) * F
-    QR = max(_cdiv(Rf // F, 128) * 128, 128)  # lane-pad the row axis
+    QR = max(_cdiv(Rf // F, _QW) * _QW, _QW)  # window-pad the row axis
     FK = F * K
+    n_win = QR // _QW
 
     n_chunks = _cdiv(N, _P_CHUNK)
     Np = n_chunks * _P_CHUNK
     if Np != N:
         ids = jnp.pad(ids, (0, Np - N), constant_values=-1)
         vals_t = jnp.pad(vals_t, ((0, 0), (0, Np - N)))
+    # Out-of-range ids -> sentinel past the padded table; the window
+    # sweep masks them out of the min/max range entirely.
     ids = jnp.where((ids >= 0) & (ids < num_rows), ids, Rf + F)
 
     def kernel(ids_ref, vals_ref, out_ref, acc_ref):
@@ -74,18 +88,29 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
         ve_hi = ve.astype(jnp.bfloat16)
         ve_lo = (ve - ve_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        # One-hot with pixels kept on lanes: ohT[r, p] = (q_p == r).
-        rr = jax.lax.broadcasted_iota(jnp.int32, (QR, _P_CHUNK), 0)
-        oht = (rr == q[None, :]).astype(jnp.bfloat16)  # [QR, P_CHUNK]
-
-        # out[fk, r] = sum_p ve[fk, p] * ohT[r, p]  (contract on lanes).
         dn = (((1,), (1,)), ((), ()))
-        acc = acc_ref[...]
-        acc += jax.lax.dot_general(ve_hi, oht, dimension_numbers=dn,
-                                   preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(ve_lo, oht, dimension_numbers=dn,
-                                   preferred_element_type=jnp.float32)
-        acc_ref[...] = acc
+        valid = q < QR
+        big = jnp.int32(1 << 30)
+        w_lo = jnp.min(jnp.where(valid, q, big)) // _QW
+        w_hi = jnp.max(jnp.where(valid, q, -1)) // _QW
+
+        def wbody(w, _):
+            # One-hot for window w, pixels kept on lanes:
+            # ohT[r, p] = (q_p == w*_QW + r).
+            rr = jax.lax.broadcasted_iota(jnp.int32, (_QW, _P_CHUNK), 0)
+            oht = (rr == (q - w * _QW)[None, :]).astype(jnp.bfloat16)
+            upd = jax.lax.dot_general(ve_hi, oht, dimension_numbers=dn,
+                                      preferred_element_type=jnp.float32)
+            upd += jax.lax.dot_general(ve_lo, oht, dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32)
+            dsw = pl.ds(pl.multiple_of(w * _QW, _QW), _QW)
+            acc_ref[:, dsw] += upd
+            return _
+
+        if n_win == 1:
+            wbody(0, 0)
+        else:
+            jax.lax.fori_loop(w_lo, w_hi + 1, wbody, 0)
 
         @pl.when(c == pl.num_programs(0) - 1)
         def _():
@@ -129,7 +154,8 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
     """
     K, N = vals_t.shape
     if method == "auto":
-        if (jax.default_backend() == "tpu" and num_rows <= _ONEHOT_MAX_ROWS
+        if (jax.default_backend() == "tpu"
+                and num_rows * K <= _PALLAS_MAX_ACC
                 and N >= 4 * _CHUNK):
             method = "pallas"
         elif num_rows <= _ONEHOT_MAX_ROWS and N >= 4 * _CHUNK:

@@ -47,6 +47,38 @@ def test_scatter_methods_agree():
                                atol=3e-5 * scale)
 
 
+def test_scatter_large_table_windowed():
+    """Windowed one-hot sweep: tables past the old 16384-row cap."""
+    rng = np.random.RandomState(7)
+    K, R, N = 9, 100000, 1 << 17
+    # Coherent ids (the rasterized-pixel case) plus OOB strays.
+    ids = np.sort(rng.randint(0, R, N)).astype(np.int32)
+    ids[:: 1000] = -1
+    ids[500::1000] = R + 17
+    vals = rng.randn(K, N).astype(np.float32)
+    a = scatter_add_by_id(jnp.asarray(ids), jnp.asarray(vals), R,
+                          method="scatter")
+    c = scatter_add_by_id(jnp.asarray(ids), jnp.asarray(vals), R,
+                          method="pallas_interpret")
+    scale = float(jnp.max(jnp.abs(a)))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                               atol=3e-5 * scale)
+
+
+def test_scatter_incoherent_ids_windowed():
+    rng = np.random.RandomState(8)
+    K, R, N = 3, 50000, 1 << 17
+    ids = rng.randint(0, R, N).astype(np.int32)  # fully random
+    vals = rng.randn(K, N).astype(np.float32)
+    a = scatter_add_by_id(jnp.asarray(ids), jnp.asarray(vals), R,
+                          method="scatter")
+    c = scatter_add_by_id(jnp.asarray(ids), jnp.asarray(vals), R,
+                          method="pallas_interpret")
+    scale = float(jnp.max(jnp.abs(a)))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                               atol=3e-5 * scale)
+
+
 def test_fused_rasterizer_parity_interpret():
     """The Pallas fused kernel (interpret) matches the XLA path on a
     mesh exercising clipping, batching, and derivative outputs."""
