@@ -184,6 +184,44 @@ def _edge_coeffs(sub):
     return jnp.stack([edge(1, 2), edge(2, 0), edge(0, 1)], axis=-2)
 
 
+def _area_form(ecoef, verts):
+    """Homogeneous area form D = a_0 evaluated at vertex 0.
+
+    D = c0*w0 + cx*x0 + cy*y0 = det[(x,y,w) of v0, v1, v2]. Multiplying
+    every per-triangle affine quantity by sign(D) normalizes winding:
+    edge interiors become positive and the interpolated w positive —
+    the TPU-shaped substitute for the reference's v1/v2 swap when the
+    snapped area is negative (TriangleSetup.inl:130-137). D == 0 marks
+    a degenerate (zero-area) triangle to cull.
+
+    Watertightness note: a mesh edge shared by two triangles produces
+    *bitwise* opposite edge coefficients on the two sides — the raw
+    coefficients are products/differences of the same two vertex
+    values (commutative, identically rounded) and IEEE negation is
+    exact — so with the exclusive ==0 tie rule (`_tie_bits`) every
+    pixel on the shared edge is claimed by exactly one side. This is
+    exact at full f32 precision, where the reference needs a 1/16-px
+    integer snap + exact integer edge functions (impl/Util.inl:214-309).
+    """
+    c = ecoef[..., 0, :]
+    return (c[..., 0] * verts[..., 0, 3] + c[..., 1] * verts[..., 0, 0]
+            + c[..., 2] * verts[..., 0, 1])
+
+
+def _tie_bits(ecoef):
+    """Exclusive ownership rule for pixels exactly on an edge (a == 0).
+
+    P(grad) = (cy > 0) | (cy == 0 & cx > 0) on the winding-normalized
+    gradient: complementary between the two sides of a shared edge
+    (their gradients are exact negations), so boundary pixels are
+    covered exactly once — the top-left-rule equivalent
+    (impl/Util.inl:304-309).
+    """
+    cx = ecoef[..., 1]
+    cy = ecoef[..., 2]
+    return (cy > 0) | ((cy == 0) & (cx > 0))
+
+
 def _plane_coeffs(tri_verts):
     """Affine coefficients of interpolated z and w (parent triangle).
 
@@ -295,7 +333,12 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
         a0 = affine(ec_[..., 0, :])
         a1 = affine(ec_[..., 1, :])
         a2 = affine(ec_[..., 2, :])
-        covered = ((a0 > 0) & (a1 > 0) & (a2 > 0)) | ((a0 < 0) & (a1 < 0) & (a2 < 0))
+        # Edge coefficients arrive winding-normalized (interior > 0);
+        # pixels exactly on an edge go to exactly one owner (_tie_bits).
+        tb = _tie_bits(ec_)[..., None, None]  # [b, C, 3, 1, 1]
+        covered = (((a0 > 0) | ((a0 == 0) & tb[..., 0, :, :]))
+                   & ((a1 > 0) | ((a1 == 0) & tb[..., 1, :, :]))
+                   & ((a2 > 0) | ((a2 == 0) & tb[..., 2, :, :])))
 
         z = affine(zc_)
         w = affine(wc_)
@@ -610,6 +653,13 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
 
     sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
     zc, wc = _plane_coeffs(tv)  # parent plane, [.., T, 3]
+    # Winding normalization (parent): scale plane equations by sign(D)
+    # so interpolated w is positive; degenerate parents are culled.
+    pD = _area_form(_edge_coeffs(tv), tv)  # [.., T]
+    po = jnp.where(pD < 0, -1.0, 1.0)[..., None]
+    zc = zc * po
+    wc = wc * po
+    svalid = svalid & (pD != 0.0)[..., None]
 
     # Flatten the 2 subtriangle slots into the scan axis.
     def flat2(a, tdim):
@@ -638,6 +688,14 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
         valid_f = sval_f[None, :] & jnp.repeat(rmask, 2, axis=1)
 
     ecoef_f = _edge_coeffs(sub_f)
+    # Winding normalization (subtriangle coverage edges).
+    sD = _area_form(ecoef_f, sub_f)
+    ecoef_f = ecoef_f * jnp.where(sD < 0, -1.0, 1.0)[..., None, None]
+    sdeg_ok = (sD != 0.0)
+    if instance_mode:
+        valid_f = valid_f & sdeg_ok
+    else:
+        valid_f = valid_f & sdeg_ok[None, :]
     idbuf, zbuf = _coverage_xla(
         ecoef_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
         peel_depth=peel_depth, chunk=chunk)

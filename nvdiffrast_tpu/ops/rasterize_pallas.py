@@ -249,8 +249,16 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel, use_remap,
                 a0 = aff(0)
                 a1 = aff(3)
                 a2 = aff(6)
-                cov = (((a0 > 0) & (a1 > 0) & (a2 > 0))
-                       | ((a0 < 0) & (a1 < 0) & (a2 < 0)))
+                # Edges are winding-normalized (interior > 0); pixels
+                # exactly on an edge are claimed by exactly one owner
+                # (rasterize._tie_bits rule; scalar per edge).
+                def tie(i):
+                    return (s(i + 2) > 0) | ((s(i + 2) == 0)
+                                             & (s(i + 1) > 0))
+
+                cov = (((a0 > 0) | ((a0 == 0) & tie(0)))
+                       & ((a1 > 0) | ((a1 == 0) & tie(3)))
+                       & ((a2 > 0) | ((a2 == 0) & tie(6))))
                 pz = aff(9)
                 pw = aff(12)
                 idf = s(15)
@@ -406,11 +414,20 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel, use_remap,
 
 def _build_records(tv, tri_ids):
     """Per-subtriangle record tensor [.., 2T, 32] (see module docstring)."""
-    from .rasterize import _near_clip_subtris, _edge_coeffs, _plane_coeffs
+    from .rasterize import (_near_clip_subtris, _edge_coeffs, _plane_coeffs,
+                            _area_form)
 
     sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
     zc, wc = _plane_coeffs(tv)  # [.., T, 3]
     pe = _edge_coeffs(tv)  # [.., T, 3, 3]
+    # Winding normalization (see rasterize._area_form): parent planes
+    # and edges scaled so interpolated w > 0; degenerate parents culled.
+    pD = _area_form(pe, tv)  # [.., T]
+    po = jnp.where(pD < 0, -1.0, 1.0)
+    zc = zc * po[..., None]
+    wc = wc * po[..., None]
+    pe = pe * po[..., None, None]
+    svalid = svalid & (pD != 0.0)[..., None]
 
     lead = tv.shape[:-3]
     T = tv.shape[-3]
@@ -419,6 +436,9 @@ def _build_records(tv, tri_ids):
     sub_f = sub.reshape(lead + (S, 3, 4))
     sval_f = svalid.reshape(lead + (S,))
     se = _edge_coeffs(sub_f)  # [.., S, 3, 3]
+    sD = _area_form(se, sub_f)
+    se = se * jnp.where(sD < 0, -1.0, 1.0)[..., None, None]
+    sval_f = sval_f & (sD != 0.0)
 
     def rep2(a):
         return jnp.repeat(a, 2, axis=len(lead))
