@@ -13,17 +13,40 @@ tunneled backends is tens of ms and would otherwise bias the result.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _measure(step, argsets):
+    """Window-difference throughput of `step` over varying inputs."""
+    g = step(*argsets[0])
+    float(np.asarray(g[0]).ravel()[0])
+    for i in range(4):
+        g = step(*argsets[i % len(argsets)])
+    float(np.asarray(g[0]).ravel()[0])
+
+    def window(iters):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            g = step(*argsets[i % len(argsets)])
+        float(np.asarray(g[0]).ravel()[0])  # force completion (async)
+        return time.perf_counter() - t0
+
+    n1, n2 = 16, 48
+    t1 = window(n1)
+    t2 = window(n2)
+    return max(t2 - t1, 1e-9) / (n2 - n1)
+
+
+def main(with_texture=False):
     import jax
     import jax.numpy as jnp
 
     from nvdiffrast_tpu.ops.rasterize import rasterize
     from nvdiffrast_tpu.ops.interpolate import interpolate
+    from nvdiffrast_tpu.ops.texture import texture
     from nvdiffrast_tpu.ops.antialias import antialias
     from nvdiffrast_tpu.models import primitives
     from nvdiffrast_tpu.utils import camera
@@ -49,26 +72,7 @@ def main():
 
     # Distinct inputs per iteration (epsilon-perturbed views).
     pcs = [pos_clip * jnp.float32(1.0 + i * 1e-6) for i in range(8)]
-
-    # Warm up / compile, then a discarded warm window.
-    g = step(pcs[0], col)
-    float(g[0][0, 0, 0])
-    for i in range(4):
-        g = step(pcs[i % 8], col)
-    float(g[0][0, 0, 0])
-
-    def window(iters):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            g = step(pcs[i % 8], col)
-        float(g[0][0, 0, 0])  # force completion on async backends
-        return time.perf_counter() - t0
-
-    n1, n2 = 16, 48
-    t1 = window(n1)
-    t2 = window(n2)
-    dt = max(t2 - t1, 1e-9) / (n2 - n1)
-
+    dt = _measure(step, [(p, col) for p in pcs])
     mpix_s = (RES * RES / 1e6) / dt
     print(json.dumps({
         "metric": "mpix_per_s_fwd_bwd_2048_raster_interp_aa",
@@ -77,6 +81,40 @@ def main():
         "vs_baseline": None,
     }))
 
+    if not with_texture:
+        return
+
+    # Secondary line: the full 4-op pipeline with trilinear texturing
+    # (earth.py-style): rasterize(grad_db) + interpolate(uv + uv_da) +
+    # texture(mip) + antialias, gradients to pos and texture.
+    rng = np.random.RandomState(0)
+    tex = jnp.asarray(rng.rand(1, 512, 512, 3).astype(np.float32))
+    # Spherical uv from the sphere parameterization.
+    uvw = np.stack([np.arctan2(vtxp[:, 0], vtxp[:, 2]) / (2 * np.pi) + 0.5,
+                    np.arccos(np.clip(vtxp[:, 1], -1, 1)) / np.pi],
+                   axis=1).astype(np.float32)
+    uvv = jnp.asarray(uvw)
+
+    def tex_loss(pos_clip, tex):
+        rast, rast_db = rasterize(None, pos_clip, tri, (RES, RES),
+                                  grad_db=True)
+        uv, uv_da = interpolate(uvv[None], rast, cidx, rast_db,
+                                diff_attrs="all")
+        img = texture(tex, uv, uv_da=uv_da,
+                      filter_mode="linear-mipmap-linear")
+        img = antialias(img, rast, pos_clip, tri)
+        return jnp.mean(img ** 2)
+
+    tstep = jax.jit(jax.grad(tex_loss, argnums=(0, 1)))
+    dt = _measure(tstep, [(p, tex) for p in pcs])
+    mpix_s = (RES * RES / 1e6) / dt
+    print(json.dumps({
+        "metric": "mpix_per_s_fwd_bwd_2048_raster_interp_tex_aa",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": None,
+    }))
+
 
 if __name__ == "__main__":
-    main()
+    main(with_texture="--with-texture" in sys.argv[1:])

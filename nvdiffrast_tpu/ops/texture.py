@@ -279,6 +279,23 @@ def _pack_pyramid(levels, cube_mode):
     return flat, meta
 
 
+def _static_meta(levels):
+    """((texel_offset, h, w) Python ints per level) for the fused path.
+
+    Offsets count texels of one [*, h, w] level block including the
+    minibatch axis (matching _pack_pyramid's row layout)."""
+    meta = []
+    off = 0
+    for lvl in levels:
+        h, w = int(lvl.shape[-3]), int(lvl.shape[-2])
+        n = 1
+        for s in lvl.shape[:-1]:
+            n *= int(s)
+        meta.append((off, h, w))
+        off += n
+    return tuple(meta), off
+
+
 def _gather(flat, idx, valid):
     """Row-gather [*, C] <- flat[NT, C]; invalid lanes give zeros.
 
@@ -543,16 +560,18 @@ def _cube_uv_da_to_st_da(uv, uv_da):
 # ---------------------------------------------------------------------------
 
 def texture(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
-            filter_mode="auto", boundary_mode="wrap", max_mip_level=None):
+            filter_mode="auto", boundary_mode="wrap", max_mip_level=None,
+            impl="auto"):
     """Perform texture sampling (see `_texture_impl` for semantics)."""
     with jax.named_scope("nvdiffrast.texture"):
         return _texture_impl(tex, uv, uv_da, mip_level_bias, mip,
-                             filter_mode, boundary_mode, max_mip_level)
+                             filter_mode, boundary_mode, max_mip_level,
+                             impl)
 
 
 def _texture_impl(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
                   filter_mode="auto", boundary_mode="wrap",
-                  max_mip_level=None):
+                  max_mip_level=None, impl="auto"):
     """Perform texture sampling.
 
     API parity with the reference op (nvdiffrast/torch/ops.py:345-439).
@@ -660,6 +679,41 @@ def _texture_impl(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
 
     flat, meta = _pack_pyramid(levels, cube_mode)
 
+    # ---- mip level selection (differentiable; shared by all paths) ----
+    flevel = None
+    if use_mip:
+        tex_h = jnp.float32(tex.shape[-3])
+        tex_w = jnp.float32(tex.shape[-2])
+        if uv_da is not None:
+            uv_da = jnp.asarray(uv_da, jnp.float32).reshape(N, -1)
+            if cube_mode:
+                st_da = _cube_uv_da_to_st_da(uv, uv_da)
+            else:
+                st_da = uv_da
+            flevel = _mip_level_from_footprint(st_da, tex_w, tex_h)
+        else:
+            flevel = jnp.zeros(uv.shape[:-1], jnp.float32)
+        if mip_level_bias is not None:
+            mip_level_bias = jnp.asarray(mip_level_bias, jnp.float32)
+            flevel = flevel + mip_level_bias.reshape(N)
+        flevel = jnp.clip(flevel, 0.0, float(mip_level_max))
+
+    # ---- fused Pallas sampler (TPU fast path, 2D linear modes) ----
+    from . import texture_pallas as tp
+
+    smeta, n_texels = _static_meta(levels)
+    want_fused = (impl in ("pallas", "pallas_interpret")
+                  or (impl == "auto" and jax.default_backend() == "tpu"))
+    if (want_fused and filter_mode != "nearest"
+            and tp.supported(C, n_texels, N, cube_mode, boundary_mode,
+                             force=(impl != "auto"))):
+        out_cm = tp.sample_fused(
+            flat.T, uv[:, 0], uv[:, 1],
+            flevel if flevel is not None else jnp.zeros((N,), jnp.float32),
+            tz, smeta, len(levels), boundary_mode, filter_mode, (B, H, W),
+            impl == "pallas_interpret")
+        return unflatten(out_cm.T)
+
     # ---- nearest ----
     if filter_mode == "nearest":
         return unflatten(
@@ -676,23 +730,6 @@ def _texture_impl(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
         level0 = jnp.zeros(uv.shape[:-1], jnp.int32)
         return unflatten(_sample_linear_level(
             flat, meta, uv, tz, D, level0, boundary_mode, cube_mode, cube_st))
-
-    # ---- mip level selection ----
-    tex_h = jnp.float32(tex.shape[-3])
-    tex_w = jnp.float32(tex.shape[-2])
-    if uv_da is not None:
-        uv_da = jnp.asarray(uv_da, jnp.float32).reshape(N, -1)
-        if cube_mode:
-            st_da = _cube_uv_da_to_st_da(uv, uv_da)
-        else:
-            st_da = uv_da
-        flevel = _mip_level_from_footprint(st_da, tex_w, tex_h)
-    else:
-        flevel = jnp.zeros(uv.shape[:-1], jnp.float32)
-    if mip_level_bias is not None:
-        mip_level_bias = jnp.asarray(mip_level_bias, jnp.float32)
-        flevel = flevel + mip_level_bias.reshape(N)
-    flevel = jnp.clip(flevel, 0.0, float(mip_level_max))
 
     level0 = jnp.floor(flevel).astype(jnp.int32)
     level0 = jnp.clip(level0, 0, mip_level_max)
