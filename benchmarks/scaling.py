@@ -126,6 +126,45 @@ def bench_virtual(res=256):
               f"check, not chip throughput)")
 
 
+def bench_virtual_sp(res=512):
+    """Single large image split into row bands across the virtual mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nvdiffrast_tpu.parallel import make_mesh
+    from nvdiffrast_tpu.parallel.spatial import make_sp_render
+    from nvdiffrast_tpu.models import primitives
+    from nvdiffrast_tpu.utils import camera
+
+    n = len(jax.devices())
+    print(f"# virtual-mesh SPATIAL scaling: one {res}^2 image in row bands")
+    pos_idx, vtxp, col_idx, _ = primitives.uv_sphere(32, 64)
+    tri = jnp.asarray(pos_idx)
+    posw = np.concatenate([vtxp, np.ones_like(vtxp[:, :1])], axis=1)
+    mvp = camera.projection(x=0.4) @ camera.translate(0, 0, -3.5)
+    pos = jnp.asarray((posw @ mvp.T)[None].astype(np.float32))
+    col = jnp.asarray((vtxp * 0.5 + 0.5).astype(np.float32))
+
+    results = {}
+    for nd in (1, n):
+        mesh = make_mesh((nd,), ("sp",), devices=jax.devices()[:nd])
+        render = make_sp_render(mesh, tri, jnp.asarray(col_idx), (res, res))
+        out = render(pos, col)
+        jax.block_until_ready(out)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = render(pos * jnp.float32(1 + 1e-6), col)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        results[nd] = dt
+        print(f"sp devices={nd}: {dt*1e3:8.2f} ms/render")
+    sp = results[1] / results[n]
+    print(f"sp speedup {sp:.2f}x on {n} devices "
+          f"-> {100*sp/n:.1f}% parallel efficiency (CPU-mesh)")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--virtual", action="store_true")
@@ -143,5 +182,6 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
         bench_virtual(args.res or 256)
+        bench_virtual_sp((args.res or 256) * 2)
     else:
         bench_real(args.res or 1024)

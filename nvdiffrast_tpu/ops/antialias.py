@@ -304,6 +304,8 @@ def decode_aux(aux):
 # ---------------------------------------------------------------------------
 
 def _build_tables(pos, tri, op_table, instance_mode, H, W):
+    # H must be the FULL image height under spatial sharding (screen
+    # scale) — callers pass Hf.
     """Per-triangle screen/clip tables (channel-major) + dummy column.
 
     Returns (ftable [7, (B*)T+1], btable [9, (B*)T+1], R, T).
@@ -372,14 +374,20 @@ def _roll_next(x, stride):
                            axis=0)
 
 
-def _pixel_grid(B, H, W, T, instance_mode):
-    """(fx, fy, rofs, border_x, border_y) flat [N] arrays."""
+def _pixel_grid(B, H, W, T, instance_mode, viewport=None):
+    """(fx, fy, rofs, border_x, border_y) flat [N] arrays.
+
+    viewport = (y0, full_height): the band holds rows [y0, y0+H) of a
+    full_height image; fy is the global image-centered coordinate, and
+    the band's top/bottom rows fold as borders (cross-band pairs are
+    handled by the spatial-sharding boundary pass)."""
+    y0, Hf = viewport if viewport is not None else (0, H)
     N = B * H * W
     pix = jnp.arange(N, dtype=jnp.int32)
     colp = pix % W
     rowp = (pix // W) % H
     fx = colp.astype(jnp.float32) + (0.5 - 0.5 * W)
-    fy = rowp.astype(jnp.float32) + (0.5 - 0.5 * H)
+    fy = (rowp + y0).astype(jnp.float32) + (0.5 - 0.5 * Hf)
     if instance_mode:
         rofs = (pix // (H * W)) * T
     else:
@@ -409,25 +417,27 @@ def _use_fused(impl, C, R):
     return want and ap.supported(C, R)
 
 
-def _aa_forward_core(color, rast, pos, tri, op_table, impl="auto"):
+def _aa_forward_core(color, rast, pos, tri, op_table, impl="auto",
+                     viewport=None):
     instance_mode = pos.ndim > 2
     B, H, W, C = color.shape
     N = B * H * W
-    ftable, _, R, T = _build_tables(pos, tri, op_table, instance_mode, H, W)
+    Hf = viewport[1] if viewport is not None else H
+    ftable, _, R, T = _build_tables(pos, tri, op_table, instance_mode, Hf, W)
 
     if _use_fused(impl, C, R):
         from . import antialias_pallas as ap
 
         return ap.aa_forward_fused(
             color, rast, ftable, T, instance_mode,
-            interpret=(impl == "pallas_interpret"))
+            interpret=(impl == "pallas_interpret"), viewport=viewport)
 
     cflat = color.reshape(N, C)
     ccols = [cflat[:, c] for c in range(C)]
     rflat = rast.reshape(N, 4)
     idf0 = rflat[:, 3]
     z0 = rflat[:, 2]
-    fx, fy, rofs, _, _ = _pixel_grid(B, H, W, T, instance_mode)
+    fx, fy, rofs, _, _ = _pixel_grid(B, H, W, T, instance_mode, viewport)
     nb = _fold_rolls(idf0, z0, B, H, W)
 
     sels = []
@@ -461,21 +471,22 @@ def _aa_forward_core(color, rast, pos, tri, op_table, impl="auto"):
 
 
 def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals,
-                      impl="auto"):
+                      impl="auto", viewport=None):
     (al0, ax0, al1, ax1) = residuals
     instance_mode = pos.ndim > 2
     B, H, W, C = color.shape
     N = B * H * W
+    Hf = viewport[1] if viewport is not None else H
     V = pos.shape[1] if instance_mode else pos.shape[0]
 
-    _, btable, R, T = _build_tables(pos, tri, op_table, instance_mode, H, W)
+    _, btable, R, T = _build_tables(pos, tri, op_table, instance_mode, Hf, W)
 
     if _use_fused(impl, C, R):
         from . import antialias_pallas as ap
 
         g_color, rid2, gval2 = ap.aa_backward_fused(
             dy, color, rast, btable, residuals, T, instance_mode,
-            interpret=(impl == "pallas_interpret"))
+            interpret=(impl == "pallas_interpret"), viewport=viewport)
     else:
         cflat = color.reshape(N, C)
         ccols = [cflat[:, c] for c in range(C)]
@@ -483,7 +494,8 @@ def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals,
         idf0 = rflat[:, 3]
         dyf = dy.reshape(N, C)
         dycols = [dyf[:, c] for c in range(C)]
-        fx, fy, rofs, _, _ = _pixel_grid(B, H, W, T, instance_mode)
+        fx, fy, rofs, _, _ = _pixel_grid(B, H, W, T, instance_mode,
+                                         viewport)
         nb = _fold_rolls(idf0, rflat[:, 2], B, H, W)
 
         rids = []
@@ -521,7 +533,7 @@ def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals,
             # (antialias.cu:542-546).
             keep = oks[d] & (dd != 0.0) & (jnp.abs(al) < 0.5)
             cols = pair_pos_grad([t9s[d][k] for k in range(9)], dd, keep,
-                                 di, tri1, fx, fy, d, W, H)
+                                 di, tri1, fx, fy, d, W, Hf)
             gvals.append(jnp.stack(cols, axis=0))  # [9, N]
 
         g_color = jnp.stack(gcols, axis=-1).reshape(B, H, W, C)
@@ -549,34 +561,39 @@ def _aa_backward_core(dy, color, rast, pos, tri, op_table, residuals,
 # custom_vjp wiring + public op.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _antialias_prim(color, rast, pos, tri, op_table, pos_gradient_boost,
-                    impl):
-    out, _ = _aa_forward_core(color, rast, pos, tri, op_table, impl)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _antialias_prim(color, rast, pos, tri, op_table, y0, pos_gradient_boost,
+                    impl, full_height):
+    vp = None if full_height is None else (y0, full_height)
+    out, _ = _aa_forward_core(color, rast, pos, tri, op_table, impl, vp)
     return out
 
 
-def _antialias_prim_fwd(color, rast, pos, tri, op_table, pos_gradient_boost,
-                        impl):
-    out, res = _aa_forward_core(color, rast, pos, tri, op_table, impl)
-    return out, (color, rast, pos, tri, op_table, res)
+def _antialias_prim_fwd(color, rast, pos, tri, op_table, y0,
+                        pos_gradient_boost, impl, full_height):
+    vp = None if full_height is None else (y0, full_height)
+    out, res = _aa_forward_core(color, rast, pos, tri, op_table, impl, vp)
+    return out, (color, rast, pos, tri, op_table, y0, res)
 
 
-def _antialias_prim_bwd(pos_gradient_boost, impl, saved, dy):
-    color, rast, pos, tri, op_table, res = saved
+def _antialias_prim_bwd(pos_gradient_boost, impl, full_height, saved, dy):
+    color, rast, pos, tri, op_table, y0, res = saved
+    vp = None if full_height is None else (y0, full_height)
     g_color, g_pos = _aa_backward_core(dy, color, rast, pos, tri, op_table,
-                                       res, impl)
+                                       res, impl, vp)
     if pos_gradient_boost != 1.0:
         g_pos = g_pos * pos_gradient_boost
     g_rast = jnp.zeros_like(rast)
-    return (g_color, g_rast, g_pos, _int_zero_ct(tri), _int_zero_ct(op_table))
+    g_y0 = None if y0 is None else _int_zero_ct(y0)
+    return (g_color, g_rast, g_pos, _int_zero_ct(tri), _int_zero_ct(op_table),
+            g_y0)
 
 
 _antialias_prim.defvjp(_antialias_prim_fwd, _antialias_prim_bwd)
 
 
 def antialias(color, rast, pos, tri, topology_hash=None,
-              pos_gradient_boost=1.0, impl="auto"):
+              pos_gradient_boost=1.0, impl="auto", viewport=None):
     """Perform antialiasing.
 
     API parity with the reference op (nvdiffrast/torch/ops.py:489-526).
@@ -596,6 +613,10 @@ def antialias(color, rast, pos, tri, topology_hash=None,
         pos_gradient_boost: (Optional) multiplier for gradients
             propagated to `pos`.
         impl: 'auto' | 'xla' | 'pallas' | 'pallas_interpret'.
+        viewport: TPU extension for spatial sharding: (y0, full_height)
+            marks `color`/`rast` as rows [y0, y0 + H) of a taller
+            image. Cross-band pixel pairs are NOT evaluated here — use
+            parallel.spatial's boundary pass for them.
 
     Returns:
         Antialiased image, same shape as `color`.
@@ -634,6 +655,12 @@ def antialias(color, rast, pos, tri, topology_hash=None,
     else:
         op_table = build_opposite_table(tri)
 
+    if viewport is None:
+        y0, full_h = None, None
+    else:
+        y0 = jnp.asarray(viewport[0], jnp.int32)
+        full_h = int(viewport[1])
+
     with jax.named_scope("nvdiffrast.antialias"):
-        return _antialias_prim(color, rast, pos, tri, op_table,
-                               float(pos_gradient_boost), impl)
+        return _antialias_prim(color, rast, pos, tri, op_table, y0,
+                               float(pos_gradient_boost), impl, full_h)

@@ -117,17 +117,18 @@ def _shifts(x, bx, by, W):
     return xr, xd
 
 
-def _grids(B, H, W, T, instance_mode):
+def _grids(B, H, W, T, instance_mode, viewport=None):
     from .antialias import _pixel_grid
 
-    return _pixel_grid(B, H, W, T, instance_mode)
+    return _pixel_grid(B, H, W, T, instance_mode, viewport)
 
 
 # ---------------------------------------------------------------------------
 # Forward.
 # ---------------------------------------------------------------------------
 
-def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False):
+def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False,
+                     viewport=None):
     """Fused AA forward.
 
     Returns (out [B, H, W, C], residuals (al0, aux0, al1, aux1) flat [N]).
@@ -143,7 +144,7 @@ def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False):
     idf0 = rflat[:, 3]
     z0 = rflat[:, 2]
     ct = color.reshape(N, C).T  # [C, N]
-    fx, fy, rofs, bx, by = _grids(B, H, W, T, instance_mode)
+    fx, fy, rofs, bx, by = _grids(B, H, W, T, instance_mode, viewport)
 
     idfx, idfd = _shifts(idf0, bx, by, W)
     zx, zd = _shifts(z0, bx, by, W)
@@ -241,7 +242,7 @@ class _Sub:
 # ---------------------------------------------------------------------------
 
 def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
-                      interpret=False):
+                      interpret=False, viewport=None):
     """Fused AA backward.
 
     Returns (g_color [B, H, W, C], rid2 [2N] int32, gval2 [9, 2N]):
@@ -258,8 +259,9 @@ def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
     rflat = rast.reshape(N, 4)
     idf0 = rflat[:, 3]
     ct = color.reshape(N, C).T
+    Hf = viewport[1] if viewport is not None else H
     dyt = dy.reshape(N, C).T
-    fx, fy, rofs, bx, by = _grids(B, H, W, T, instance_mode)
+    fx, fy, rofs, bx, by = _grids(B, H, W, T, instance_mode, viewport)
 
     idfx, idfd = _shifts(idf0, bx, by, W)
     cx, cd = _shifts(ct, bx, by, W)
@@ -320,7 +322,7 @@ def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
             dd = jnp.where(active, dd, 0.0)
             keep = ok & (dd != 0.0) & (jnp.abs(al) < 0.5)
             cols = pair_pos_grad(t9v, dd, keep, di, is_t1, fxv, fyv,
-                                 d, W, H)
+                                 d, W, Hf)
             for k in range(9):
                 gv_ref[k] = cols[k]
 

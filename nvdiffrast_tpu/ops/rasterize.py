@@ -243,8 +243,26 @@ def _plane_coeffs(tri_verts):
 # Pixel phase: brute-force chunked scan (XLA reference path).
 # ---------------------------------------------------------------------------
 
+def _band_centers(resolution, viewport):
+    """Pixel-center clip coords of a row band.
+
+    viewport = (y0, full_height) renders rows [y0, y0+H) of a
+    full_height-tall image (y0 may be traced — spatial sharding);
+    None = full image. Band coords are bit-identical to the same rows
+    of a full-image render (integer row index offset before scaling),
+    preserving watertightness across band boundaries.
+    """
+    H, W = resolution
+    y0, Hf = viewport if viewport is not None else (0, H)
+    xs, xo, ys, yo = coord.pixel_scale_offset(Hf, W)
+    fx = jnp.arange(W, dtype=jnp.float32) * jnp.float32(xs) + jnp.float32(xo)
+    rows = jnp.arange(H, dtype=jnp.int32) + y0
+    fy = rows.astype(jnp.float32) * jnp.float32(ys) + jnp.float32(yo)
+    return fx, fy
+
+
 def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
-                  peel_depth=None, chunk=_DEFAULT_CHUNK):
+                  peel_depth=None, chunk=_DEFAULT_CHUNK, viewport=None):
     """Scan subtriangle chunks, carrying the per-pixel (depth, id) minimum.
 
     Args:
@@ -266,7 +284,7 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
     B = batch_shape
     S = tri_ids.shape[0]
 
-    fx, fy = coord.pixel_centers(H, W)
+    fx, fy = _band_centers(resolution, viewport)
     fx = fx[None, :]  # [1, W]
     fy = fy[:, None]  # [H, 1]
 
@@ -372,8 +390,9 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
 # Math is an exact re-derivation of csrc/common/rasterize.cu:15-114.
 # ---------------------------------------------------------------------------
 
-def _shade(pos, tri, idbuf, resolution, instance_mode):
+def _shade(pos, tri, idbuf, resolution, instance_mode, viewport=None):
     H, W = resolution
+    Hf = viewport[1] if viewport is not None else H
     B = idbuf.shape[0]
 
     valid = idbuf >= 0
@@ -388,7 +407,7 @@ def _shade(pos, tri, idbuf, resolution, instance_mode):
 
     p0, p1, p2 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
 
-    fx, fy = coord.pixel_centers(H, W)
+    fx, fy = _band_centers(resolution, viewport)
     fx = fx[None, None, :]
     fy = fy[None, :, None]
 
@@ -422,7 +441,7 @@ def _shade(pos, tri, idbuf, resolution, instance_mode):
     idf = coord.triidx_to_float(tid + 1)
 
     # Bary pixel differentials (reference: rasterize.cu:96-113).
-    xs, _, ys, _ = coord.pixel_scale_offset(H, W)
+    xs, _, ys, _ = coord.pixel_scale_offset(Hf, W)
     dfxdx = xs * iw
     dfydy = ys * iw
     da0dx = p2[..., 1] * p1[..., 3] - p1[..., 1] * p2[..., 3]
@@ -449,7 +468,7 @@ def _shade(pos, tri, idbuf, resolution, instance_mode):
 # ---------------------------------------------------------------------------
 
 def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
-                        enable_db):
+                        enable_db, viewport=None):
     """Vertex position gradients (re-derivation of rasterize.cu:119-273).
 
     TPU-shaped data flow: per-pixel state lives in flat [N] SoA vectors
@@ -497,10 +516,11 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     x1, y1, w1 = vcol(3), vcol(4), vcol(5)
     x2, y2, w2 = vcol(6), vcol(7), vcol(8)
 
-    xs, xo, ys, yo = coord.pixel_scale_offset(H, W)
+    vp_y0, Hf = viewport if viewport is not None else (0, H)
+    xs, xo, ys, yo = coord.pixel_scale_offset(Hf, W)
     pix = jnp.arange(N, dtype=jnp.int32)
     fx = (pix % W).astype(jnp.float32) * xs + xo
-    fy = ((pix // W) % H).astype(jnp.float32) * ys + yo
+    fy = ((pix // W) % H + vp_y0).astype(jnp.float32) * ys + yo
 
     p0x = x0 - fx * w0
     p0y = y0 - fy * w0
@@ -542,7 +562,7 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
         ddb2 = ddb.reshape(N, 4)
         d0, d1, d2, d3 = ddb2[:, 0], ddb2[:, 1], ddb2[:, 2], ddb2[:, 3]
         dfxdX = (2.0 / W) * iw
-        dfydY = (2.0 / H) * iw
+        dfydY = (2.0 / Hf) * iw
         d0 = d0 * dfxdX
         d1 = d1 * dfydY
         d2 = d2 * dfxdX
@@ -624,7 +644,7 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
 # ---------------------------------------------------------------------------
 
 def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
-                        impl="auto"):
+                        impl="auto", viewport=None):
     instance_mode = pos.ndim > 2
     H, W = resolution
     T = tri.shape[0]
@@ -642,7 +662,7 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
                 jnp.array([[0, T]], jnp.int32), (pos.shape[0], 2))
         return rasterize_fused(
             pos, tri, resolution, ranges, peel_depth,
-            interpret=(impl == "pallas_interpret"))
+            interpret=(impl == "pallas_interpret"), viewport=viewport)
 
     if instance_mode:
         B = pos.shape[0]
@@ -698,9 +718,10 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
         valid_f = valid_f & sdeg_ok[None, :]
     idbuf, zbuf = _coverage_xla(
         ecoef_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
-        peel_depth=peel_depth, chunk=chunk)
+        peel_depth=peel_depth, chunk=chunk, viewport=viewport)
 
-    out, out_db = _shade(pos, tri, idbuf, resolution, instance_mode)
+    out, out_db = _shade(pos, tri, idbuf, resolution, instance_mode,
+                         viewport=viewport)
     return out, out_db, zbuf
 
 
@@ -708,32 +729,37 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
 # custom_vjp wiring.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5, 6, 7))
-def _rasterize_prim(pos, tri, resolution, ranges, peel_depth, grad_db,
-                    chunk, impl):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 6, 7, 8, 9))
+def _rasterize_prim(pos, tri, resolution, ranges, peel_depth, y0, grad_db,
+                    chunk, impl, full_height):
+    vp = None if full_height is None else (y0, full_height)
     out, out_db, zbuf = _rasterize_fwd_core(
-        pos, tri, resolution, ranges, peel_depth, chunk, impl)
+        pos, tri, resolution, ranges, peel_depth, chunk, impl, viewport=vp)
     return out, out_db, zbuf
 
 
-def _rasterize_prim_fwd(pos, tri, resolution, ranges, peel_depth, grad_db,
-                        chunk, impl):
+def _rasterize_prim_fwd(pos, tri, resolution, ranges, peel_depth, y0,
+                        grad_db, chunk, impl, full_height):
+    vp = None if full_height is None else (y0, full_height)
     out, out_db, zbuf = _rasterize_fwd_core(
-        pos, tri, resolution, ranges, peel_depth, chunk, impl)
-    return (out, out_db, zbuf), (pos, tri, out, ranges, peel_depth)
+        pos, tri, resolution, ranges, peel_depth, chunk, impl, viewport=vp)
+    return (out, out_db, zbuf), (pos, tri, out, ranges, peel_depth, y0)
 
 
-def _rasterize_prim_bwd(resolution, grad_db, chunk, impl, res, cts):
-    pos, tri, out, ranges, peel_depth = res
+def _rasterize_prim_bwd(resolution, grad_db, chunk, impl, full_height, res,
+                        cts):
+    pos, tri, out, ranges, peel_depth, y0 = res
     dy, ddb, _dz = cts
+    vp = None if full_height is None else (y0, full_height)
     instance_mode = pos.ndim > 2
     g_pos = _rasterize_bwd_math(
         pos, tri, out, dy, ddb if grad_db else None, resolution,
-        instance_mode, enable_db=grad_db)
+        instance_mode, enable_db=grad_db, viewport=vp)
     g_ranges = None if ranges is None else _int_zero_ct(ranges)
     g_tri = _int_zero_ct(tri)
     g_peel = None if peel_depth is None else jnp.zeros_like(peel_depth)
-    return (g_pos, g_tri, g_ranges, g_peel)
+    g_y0 = None if y0 is None else _int_zero_ct(y0)
+    return (g_pos, g_tri, g_ranges, g_peel, g_y0)
 
 
 _rasterize_prim.defvjp(_rasterize_prim_fwd, _rasterize_prim_bwd)
@@ -789,7 +815,7 @@ def _check_rasterize_args(pos, tri, resolution, ranges):
 
 
 def rasterize(glctx, pos, tri, resolution, ranges=None, grad_db=True,
-              chunk=_DEFAULT_CHUNK, impl="auto"):
+              chunk=_DEFAULT_CHUNK, impl="auto", viewport=None):
     """Rasterize triangles.
 
     API parity with the reference op (nvdiffrast/torch/ops.py:93-135).
@@ -808,6 +834,11 @@ def rasterize(glctx, pos, tri, resolution, ranges=None, grad_db=True,
             into `pos` in the backward pass.
         chunk: Triangles per scan step of the brute-force pixel phase.
         impl: 'auto' | 'xla' | 'pallas'.
+        viewport: TPU extension for spatial sharding: (y0, full_height)
+            renders rows [y0, y0 + height) of a full_height-tall image
+            (y0 may be a traced scalar, e.g. from jax.lax.axis_index).
+            Band pixels are bit-identical to the same rows of the full
+            render.
 
     Returns:
         (rast, rast_db): both [minibatch_size, height, width, 4];
@@ -834,11 +865,16 @@ def rasterize(glctx, pos, tri, resolution, ranges=None, grad_db=True,
         ranges = jnp.broadcast_to(
             jnp.array([[0, tri.shape[0]]], jnp.int32), (pos.shape[0], 2))
     _check_rasterize_args(pos, tri, resolution, ranges)
+    if viewport is None:
+        y0, full_h = None, None
+    else:
+        y0 = jnp.asarray(viewport[0], jnp.int32)
+        full_h = int(viewport[1])
 
     with jax.named_scope("nvdiffrast.rasterize"):
         out, out_db, _zbuf = _rasterize_prim(
-            pos, tri, resolution, ranges, None, bool(grad_db), int(chunk),
-            impl)
+            pos, tri, resolution, ranges, None, y0, bool(grad_db),
+            int(chunk), impl, full_h)
     return out, out_db
 
 
@@ -909,8 +945,8 @@ class DepthPeeler:
         assert self.peeling_idx >= 0
         peel = self._peel_depth if self.peeling_idx > 0 else None
         out, out_db, zbuf = _rasterize_prim(
-            self.pos, self.tri, self.resolution, self.ranges, peel,
-            bool(self.grad_db), self.chunk, self.impl)
+            self.pos, self.tri, self.resolution, self.ranges, peel, None,
+            bool(self.grad_db), self.chunk, self.impl, None)
         self._peel_depth = jax.lax.stop_gradient(zbuf)
         self.peeling_idx += 1
         return out, out_db

@@ -75,13 +75,16 @@ def _cdiv(a, b):
 # Binning (XLA).
 # ---------------------------------------------------------------------------
 
-def _pixel_aabb(sub, ok, H, W):
-    """Screen AABB per subtriangle in pixel-index units (empty if !ok)."""
+def _pixel_aabb(sub, ok, H, W, y0, Hf):
+    """Screen AABB per subtriangle in band-local pixel-index units
+    (empty if !ok). y0/Hf: row offset and full image height of the
+    viewport (band rows cover [y0, y0 + H) of the Hf-tall image)."""
     x = sub[..., 0]
     y = sub[..., 1]
     w = jnp.maximum(sub[..., 3], 1e-12)
     px = jnp.clip((x / w + 1.0) * (W * 0.5) - 0.5, -1e9, 1e9)
-    py = jnp.clip((y / w + 1.0) * (H * 0.5) - 0.5, -1e9, 1e9)
+    py = jnp.clip((y / w + 1.0) * (Hf * 0.5) - 0.5
+                  - jnp.asarray(y0, jnp.float32), -1e9, 1e9)
     xmin = jnp.min(px, axis=-1)
     xmax = jnp.max(px, axis=-1)
     ymin = jnp.min(py, axis=-1)
@@ -132,8 +135,8 @@ def _sort_records(records, aabb, nty, ntx, tile_w):
 # Kernel.
 # ---------------------------------------------------------------------------
 
-def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel, use_remap,
-                 ntx, bc_many):
+def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
+                 use_remap, ntx, bc_many):
     """Build the fused coverage+shade kernel.
 
     Accumulator channel mapping during the chunk sweep (all
@@ -152,12 +155,21 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel, use_remap,
 
     def kernel(*refs):
         if use_remap:
-            remap_ref, cnt_ref, ranges_ref, gaabb_ref, coef_ref, *rest = refs
+            remap_ref, cnt_ref, ranges_ref, *rest = refs
         else:
-            ranges_ref, caabb_ref, gaabb_ref, coef_ref, *rest = refs
+            ranges_ref, *rest = refs
+        if has_vp:
+            y0_ref = rest[0]
+            rest = rest[1:]
+        if use_remap:
+            gaabb_ref, coef_ref, *rest = rest
+        else:
+            caabb_ref, gaabb_ref, coef_ref, *rest = rest
         if has_peel:
             peel_ref = rest[0]
             rest = rest[1:]
+        # Viewport row offset (band rendering): global row = local + y0.
+        y0i = y0_ref[0, 0] if has_vp else 0
         (u_ref, v_ref, zw_ref, idf_ref, dudx_ref, dudy_ref, dvdx_ref,
          dvdy_ref, zbuf_ref, cy1_ref, cx2_ref, cy2_ref) = rest
 
@@ -219,7 +231,8 @@ def _make_kernel(xs, xo, ys, yo, nc, gpc, tile_w, has_peel, use_remap,
             rowf = jax.lax.broadcasted_iota(
                 jnp.int32, (SLAB_H, LANE), 0).astype(jnp.float32)
             fxv = (colf + (tx0i + x_lo).astype(jnp.float32)) * xs + xo
-            fyv = (rowf + (ty * TILE_H + y_lo).astype(jnp.float32)) * ys + yo
+            fyv = (rowf + (ty * TILE_H + y_lo
+                           + y0i).astype(jnp.float32)) * ys + yo
 
             dsy = pl.ds(y_lo, SLAB_H)
             dsx = pl.ds(x_lo, LANE)
@@ -464,7 +477,7 @@ def _build_records(tv, tri_ids):
 
 
 def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
-                    interpret=False):
+                    interpret=False, viewport=None):
     """Fused Pallas rasterize forward.
 
     Args:
@@ -475,6 +488,9 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
         full-window placeholder (the kernel masks ids against it).
       peel_depth: optional [B, H, W] previous-layer depth (z/w; +inf
         where empty). Fragments with depth <= peel are culled.
+      viewport: optional (y0, full_height) — render rows [y0, y0 + H)
+        of a full_height-tall image (y0 may be traced). Band output is
+        bit-identical to the same rows of the full render.
 
     Returns:
       out [B, H, W, 4], out_db [B, H, W, 4], zbuf [B, H, W] f32.
@@ -482,6 +498,11 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     from . import coord
 
     H, W = resolution
+    if viewport is None:
+        y0, Hf = 0, H
+    else:
+        y0, Hf = viewport[0], int(viewport[1])
+    has_vp = viewport is not None
     instance_mode = pos.ndim > 2
     T = tri.shape[0]
     B = pos.shape[0] if instance_mode else ranges.shape[0]
@@ -529,7 +550,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     sval_p = pad_s(sval_f, s_axis)
 
     def bin_one(rec_i, sub_i, sval_i):
-        aabb = _pixel_aabb(sub_i, sval_i, H, W)
+        aabb = _pixel_aabb(sub_i, sval_i, H, W, y0, Hf)
         return _sort_records(rec_i, aabb, nty, ntx, tile_w)
 
     if instance_mode:
@@ -551,8 +572,10 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     ranges = jnp.broadcast_to(
         jnp.asarray(ranges, jnp.int32).reshape(B, 1, 2), (B, 8, 2))
 
-    xs_, xo_, ys_, yo_ = coord.pixel_scale_offset(H, W)
+    xs_, xo_, ys_, yo_ = coord.pixel_scale_offset(Hf, W)
     has_peel = peel_depth is not None
+    y0_in = jnp.broadcast_to(jnp.asarray(y0, jnp.int32).reshape(1, 1),
+                             (1, 8)) if has_vp else None
 
     # Scalar-prefetch chunk remap: enqueue only the chunks whose AABB
     # overlaps each tile, so the auto-pipelined chunk DMA never fetches
@@ -575,8 +598,8 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
         counts = hit.sum(axis=-1).astype(jnp.int32)  # [Bc, n_tiles]
         remap = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
 
-    kernel = _make_kernel(xs_, xo_, ys_, yo_, nc, gpc, tile_w, has_peel,
-                          use_remap, ntx, Bc > 1)
+    kernel = _make_kernel(xs_, xo_, ys_, yo_, has_vp, nc, gpc, tile_w,
+                          has_peel, use_remap, ntx, Bc > 1)
 
     def _b(b):
         return b if Bc > 1 else 0
@@ -591,6 +614,12 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
             pl.BlockSpec((1, 8, 2),
                          lambda b, ty, tx, c, r_, n_: (b, 0, 0),
                          memory_space=pltpu.SMEM),
+        ]
+        if has_vp:
+            in_specs.append(pl.BlockSpec(
+                (1, 8), lambda b, ty, tx, c, r_, n_: (0, 0),
+                memory_space=pltpu.SMEM))
+        in_specs += [
             pl.BlockSpec((1, gpc, 4),
                          lambda b, ty, tx, c, r_, n_: (
                              _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
@@ -600,13 +629,19 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                              _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
                          memory_space=pltpu.VMEM),
         ]
-        inputs = [ranges, gaabb, rec_s]
+        inputs = [ranges] + ([y0_in] if has_vp else []) + [gaabb, rec_s]
         peel_im = lambda b, ty, tx, c, r_, n_: (b, ty, tx)
         out_im = lambda b, ty, tx, c, r_, n_: (b, ty, tx)
     else:
         in_specs = [
             pl.BlockSpec((1, 8, 2), lambda b, ty, tx, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),
+        ]
+        if has_vp:
+            in_specs.append(pl.BlockSpec(
+                (1, 8), lambda b, ty, tx, c: (0, 0),
+                memory_space=pltpu.SMEM))
+        in_specs += [
             pl.BlockSpec((1, nc, 4),
                          lambda b, ty, tx, c: (_b(b), 0, 0),
                          memory_space=pltpu.SMEM),
@@ -617,7 +652,8 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                          lambda b, ty, tx, c: (_b(b), c, 0),
                          memory_space=pltpu.VMEM),
         ]
-        inputs = [ranges, caabb, gaabb, rec_s]
+        inputs = ([ranges] + ([y0_in] if has_vp else [])
+                  + [caabb, gaabb, rec_s])
         peel_im = lambda b, ty, tx, c: (b, ty, tx)
         out_im = lambda b, ty, tx, c: (b, ty, tx)
 

@@ -205,34 +205,58 @@ def _prep_table(tbl_cm):
     return tbl_cm.reshape(K, Rp // LANE, LANE)
 
 
-def _gather_corners(tbl_ref, ids4, active, C, q_ref):
-    """q_ref[4c + corner] <- tbl[c, ids4[corner]] for active pixels."""
+def _gather_corners(tbl_ref, setup, base_s, wl, active, C, q_ref):
+    """q_ref[4c + corner] <- tbl[c, corner texel] for active pixels.
+
+    2-D bounded sweep: iterates the texel ROWS of the block's uv
+    bounding box, and within each row only the 128-lane chunks its
+    u-range touches — so cost scales with the bbox area, not with the
+    texture width (a flat id sweep would walk every chunk of every
+    bbox row). `base_s` is the block-constant row-0 flat offset
+    (level offset + tz * level texels; tz is constant per block since
+    blocks never straddle minibatch images).
+    """
+    iu0, iu1, iv0, iv1 = setup[:4]
+    ids4 = (base_s + iv0 * wl + iu0, base_s + iv0 * wl + iu1,
+            base_s + iv1 * wl + iu0, base_s + iv1 * wl + iu1)
     his = [i >> 7 for i in ids4]
     los = [i & 127 for i in ids4]
-    shape = ids4[0].shape
+    shape = iu0.shape
     big = jnp.int32(1 << 30)
-    h_lo = jnp.minimum(jnp.minimum(his[0], his[1]),
-                       jnp.minimum(his[2], his[3]))
-    h_hi = jnp.maximum(jnp.maximum(his[0], his[1]),
-                       jnp.maximum(his[2], his[3]))
-    h_lo = jnp.min(jnp.where(active, h_lo, big))
-    h_hi = jnp.max(jnp.where(active, h_hi, -1))
+
+    def mmin(a, b):
+        return jnp.min(jnp.where(active, jnp.minimum(a, b), big))
+
+    def mmax(a, b):
+        return jnp.max(jnp.where(active, jnp.maximum(a, b), -1))
+
+    umin = mmin(iu0, iu1)
+    umax = mmax(iu0, iu1)
+    rmin = mmin(iv0, iv1)
+    rmax = mmax(iv0, iv1)
 
     for k in range(4 * C):
         q_ref[k] = jnp.zeros(shape, jnp.float32)
 
-    def hbody(h, _):
-        for c in range(C):
-            row = tbl_ref[c, h, :]
-            chunk = jnp.broadcast_to(row[None, :], shape)
-            for corner in range(4):
-                g = jnp.take_along_axis(chunk, los[corner], axis=1)
-                sel = active & (his[corner] == h)
-                k = 4 * c + corner
-                q_ref[k] = jnp.where(sel, g, q_ref[k])
+    def rbody(r, _):
+        rowstart = base_s + r * wl
+
+        def cbody(h, _):
+            for c in range(C):
+                row = tbl_ref[c, h, :]
+                chunk = jnp.broadcast_to(row[None, :], shape)
+                for corner in range(4):
+                    g = jnp.take_along_axis(chunk, los[corner], axis=1)
+                    sel = active & (his[corner] == h)
+                    k = 4 * c + corner
+                    q_ref[k] = jnp.where(sel, g, q_ref[k])
+            return _
+
+        jax.lax.fori_loop((rowstart + umin) >> 7,
+                          ((rowstart + umax) >> 7) + 1, cbody, 0)
         return _
 
-    jax.lax.fori_loop(h_lo, h_hi + 1, hbody, 0)
+    jax.lax.fori_loop(rmin, rmax + 1, rbody, 0)
 
 
 def _build_kernel(mode, C, L, meta, boundary_mode, filter_mode):
@@ -276,9 +300,9 @@ def _build_kernel(mode, C, L, meta, boundary_mode, filter_mode):
                    + jnp.where(on1, frac, 0.0))
 
             setup = corner_setup(u, v, hl, wl, boundary_mode)
-            base = off + tz * (hl * wl)
-            ids4 = corner_ids(setup, base, wl)
-            _gather_corners(tbl_ref, ids4, active, C, q_ref)
+            # tz is block-constant (blocks never straddle images).
+            base_s = off + tz[0, 0] * (hl * wl)
+            _gather_corners(tbl_ref, setup, base_s, wl, active, C, q_ref)
             fu, fv, w4, ok4 = setup[4], setup[5], setup[6], setup[7]
 
             if mode == "fwd":

@@ -14,6 +14,8 @@ from .shard import (
     sharded_train_step,
     shard_map_train_step,
 )
+from .spatial import antialias_sp, make_sp_render
+from . import multihost
 
 __all__ = [
     "make_mesh",
@@ -22,4 +24,7 @@ __all__ = [
     "shard_pipeline",
     "sharded_train_step",
     "shard_map_train_step",
+    "antialias_sp",
+    "make_sp_render",
+    "multihost",
 ]
