@@ -49,6 +49,9 @@ _DEFAULT_CHUNK = 64
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
+# Rational-depth sentinel; matches rasterize_pallas._BIG.
+_RAT_BIG = 1e30
+
 
 # ---------------------------------------------------------------------------
 # Context shims (API parity only — TPU needs no GPU context object).
@@ -328,11 +331,14 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
         xs = (jnp.moveaxis(ecoef_c, 1, 0), jnp.moveaxis(zcoef_c, 1, 0),
               jnp.moveaxis(wcoef_c, 1, 0), jnp.moveaxis(valid_c, 1, 0), ids_c)
 
-    zbuf0 = jnp.full((B, H, W), jnp.inf, jnp.float32)
+    # Rational depth carry: (numerator, denominator>0, id). Matches the
+    # fused kernel's initialization (_BIG, 1, invalid).
+    zbuf0 = jnp.full((B, H, W), _RAT_BIG, jnp.float32)
+    wbuf0 = jnp.ones((B, H, W), jnp.float32)
     idbuf0 = jnp.full((B, H, W), _INT32_MAX, jnp.int32)
 
     def step(carry, xc):
-        zbuf, idbuf = carry
+        zbuf, wbuf, idbuf = carry
         ec, zc, wc, vd, ids = xc
         # ec: [B, C, 3, 3] or [C, 3, 3]; vd: [B, C]; ids: [C].
         if shared_geom:
@@ -360,28 +366,53 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
 
         z = affine(zc_)
         w = affine(wc_)
-        depth = z / w
-        # Fragment z-clip (geometric clip in the reference's TriangleSetup;
-        # per-fragment here, which is exact for the z planes).
-        frag_ok = covered & (w > 0) & (jnp.abs(depth) <= 1.0)
+        # Fragment z-clip (geometric clip in the reference's
+        # TriangleSetup; per-fragment here, exact for the z planes).
+        # All depth comparisons are cross-multiplied rationals, never
+        # divided — the EXACT comparison the fused kernel performs, so
+        # the two paths pick bit-identical winners even in z-fights.
+        frag_ok = covered & (w > 0) & (jnp.abs(z) <= w)
         frag_ok &= vd[:, :, None, None]
         if peel_depth is not None:
-            frag_ok &= depth > peel_depth[:, None]
+            frag_ok &= z > peel_depth[:, None] * w
 
-        depth = jnp.where(frag_ok, depth, jnp.inf)
+        zn = jnp.where(frag_ok, z, _RAT_BIG)
+        wd = jnp.where(frag_ok, w, 1.0)
         ids_b = jnp.where(frag_ok, ids[None, :, None, None], _INT32_MAX)
 
-        # Deterministic (depth, id) lexicographic min over the chunk.
-        dmin = jnp.min(depth, axis=1)
-        imin = jnp.min(jnp.where(depth == dmin[:, None], ids_b, _INT32_MAX), axis=1)
+        # Deterministic rational (z/w, id) lexicographic min over the
+        # chunk: pairwise tree reduction (same compare as the kernel's
+        # sequential merge).
+        def merge(a, b):
+            az_, aw_, ai_ = a
+            bz_, bw_, bi_ = b
+            lhs = az_ * bw_
+            rhs = bz_ * aw_
+            take_a = (lhs < rhs) | ((lhs == rhs) & (ai_ < bi_))
+            return (jnp.where(take_a, az_, bz_),
+                    jnp.where(take_a, aw_, bw_),
+                    jnp.where(take_a, ai_, bi_))
 
-        better = (dmin < zbuf) | ((dmin == zbuf) & (imin < idbuf))
-        zbuf = jnp.where(better, dmin, zbuf)
-        idbuf = jnp.where(better, imin, idbuf)
-        return (zbuf, idbuf), None
+        cur = (zn, wd, ids_b)
+        while cur[0].shape[1] > 1:
+            n = cur[0].shape[1]
+            half = n // 2
+            lo = tuple(v[:, :half] for v in cur)
+            hi = tuple(v[:, half:2 * half] for v in cur)
+            tail = tuple(v[:, 2 * half:] for v in cur)  # odd leftover
+            merged = merge(lo, hi)
+            if n % 2:
+                merged = merge(merged, tail)  # idempotent min: safe
+            cur = merged
+        dz, dw, di = (v[:, 0] for v in cur)
 
-    (zbuf, idbuf), _ = jax.lax.scan(step, (zbuf0, idbuf0), xs)
-    idbuf = jnp.where(idbuf == _INT32_MAX, -1, idbuf)
+        zbuf, wbuf, idbuf = merge((zbuf, wbuf, idbuf), (dz, dw, di))
+        return (zbuf, wbuf, idbuf), None
+
+    (zbuf, wbuf, idbuf), _ = jax.lax.scan(step, (zbuf0, wbuf0, idbuf0), xs)
+    empty = idbuf == _INT32_MAX
+    idbuf = jnp.where(empty, -1, idbuf)
+    zbuf = jnp.where(empty, jnp.inf, zbuf / wbuf)
     return idbuf, zbuf
 
 
