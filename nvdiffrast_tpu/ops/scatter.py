@@ -94,18 +94,26 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
         w_lo = jnp.min(jnp.where(valid, q, big)) // _QW
         w_hi = jnp.max(jnp.where(valid, q, -1)) // _QW
 
-        def wbody(w, _):
-            # One-hot for window w, pixels kept on lanes:
-            # ohT[r, p] = (q_p == w*_QW + r).
-            rr = jax.lax.broadcasted_iota(jnp.int32, (_QW, _P_CHUNK), 0)
-            oht = (rr == (q - w * _QW)[None, :]).astype(jnp.bfloat16)
-            upd = jax.lax.dot_general(ve_hi, oht, dimension_numbers=dn,
-                                      preferred_element_type=jnp.float32)
-            upd += jax.lax.dot_general(ve_lo, oht, dimension_numbers=dn,
-                                       preferred_element_type=jnp.float32)
-            dsw = pl.ds(pl.multiple_of(w * _QW, _QW), _QW)
-            acc_ref[:, dsw] += upd
-            return _
+        qw = q // _QW
+
+        def wbody(w, carry):
+            # Multimodal id streams (e.g. mip-level-mixed texel ids)
+            # make [w_lo, w_hi] span nearly the whole table while only
+            # a few windows are actually hit — test before paying for
+            # the one-hot build + matmuls.
+            @pl.when(jnp.any(qw == w))
+            def _do():
+                # One-hot for window w, pixels kept on lanes:
+                # ohT[r, p] = (q_p == w*_QW + r).
+                rr = jax.lax.broadcasted_iota(jnp.int32, (_QW, _P_CHUNK), 0)
+                oht = (rr == (q - w * _QW)[None, :]).astype(jnp.bfloat16)
+                upd = jax.lax.dot_general(ve_hi, oht, dimension_numbers=dn,
+                                          preferred_element_type=jnp.float32)
+                upd += jax.lax.dot_general(ve_lo, oht, dimension_numbers=dn,
+                                           preferred_element_type=jnp.float32)
+                dsw = pl.ds(pl.multiple_of(w * _QW, _QW), _QW)
+                acc_ref[:, dsw] += upd
+            return carry
 
         if n_win == 1:
             wbody(0, 0)

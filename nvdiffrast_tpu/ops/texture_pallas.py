@@ -238,23 +238,32 @@ def _gather_corners(tbl_ref, setup, base_s, wl, active, C, q_ref):
     for k in range(4 * C):
         q_ref[k] = jnp.zeros(shape, jnp.float32)
 
-    def rbody(r, _):
+    def rbody(r, carry):
         rowstart = base_s + r * wl
 
-        def cbody(h, _):
-            for c in range(C):
-                row = tbl_ref[c, h, :]
-                chunk = jnp.broadcast_to(row[None, :], shape)
-                for corner in range(4):
-                    g = jnp.take_along_axis(chunk, los[corner], axis=1)
-                    sel = active & (his[corner] == h)
-                    k = 4 * c + corner
-                    q_ref[k] = jnp.where(sel, g, q_ref[k])
-            return _
+        def cbody(h, carry2):
+            sels = [active & (his[corner] == h) for corner in range(4)]
+            # Blocks mixing pixel clusters (e.g. background uv=0 next
+            # to surface uvs, or wrap-seam straddles) have bounding
+            # boxes far larger than their occupied (row, chunk) set —
+            # skip the gather body on empty steps.
+            hit = (sels[0] | sels[1]) | (sels[2] | sels[3])
+
+            @pl.when(jnp.any(hit))
+            def _do():
+                for c in range(C):
+                    row = tbl_ref[c, h, :]
+                    chunk = jnp.broadcast_to(row[None, :], shape)
+                    for corner in range(4):
+                        g = jnp.take_along_axis(chunk, los[corner], axis=1)
+                        k = 4 * c + corner
+                        q_ref[k] = jnp.where(sels[corner], g, q_ref[k])
+
+            return carry2
 
         jax.lax.fori_loop((rowstart + umin) >> 7,
                           ((rowstart + umax) >> 7) + 1, cbody, 0)
-        return _
+        return carry
 
     jax.lax.fori_loop(rmin, rmax + 1, rbody, 0)
 
