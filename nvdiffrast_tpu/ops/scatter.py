@@ -79,6 +79,11 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
         s = idc - q * F
         vc = vals_ref[0]  # [K, P_CHUNK]
 
+        # Gradient streams are often sparse (antialias touches only
+        # silhouette pairs; rasterize only covered pixels) — an
+        # all-zero chunk contributes nothing, skip it entirely.
+        chunk_live = jnp.any(vc != 0.0)
+
         # vals_exp[f*K + k, p] = vals[k, p] * (s_p == f)
         rows = []
         for f in range(F):
@@ -100,8 +105,9 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
             # Multimodal id streams (e.g. mip-level-mixed texel ids)
             # make [w_lo, w_hi] span nearly the whole table while only
             # a few windows are actually hit — test before paying for
-            # the one-hot build + matmuls.
-            @pl.when(jnp.any(qw == w))
+            # the one-hot build + matmuls. chunk_live additionally
+            # skips fully-zero chunks.
+            @pl.when(chunk_live & jnp.any(qw == w))
             def _do():
                 # One-hot for window w, pixels kept on lanes:
                 # ohT[r, p] = (q_p == w*_QW + r).

@@ -235,6 +235,22 @@ def _gather_corners(tbl_ref, setup, base_s, wl, active, C, q_ref):
     rmin = mmin(iv0, iv1)
     rmax = mmax(iv0, iv1)
 
+    # Row clusters: blocks routinely mix a few exact far-apart row
+    # values with a compact interval — e.g. background pixels at
+    # uv = (0, 0) in wrap mode touch texel rows {0, wl-1} while the
+    # surface pixels occupy a narrow band. Visiting the two extreme
+    # rows explicitly and sweeping only the strictly-interior interval
+    # keeps the loop linear in *occupied* rows, not the bbox height.
+    any_act = rmax >= 0
+    r_first = jnp.where(any_act, rmin, 0)
+    r_last = jnp.where(any_act, rmax, 0)
+    in0 = active & (iv0 > r_first) & (iv0 < r_last)
+    in1 = active & (iv1 > r_first) & (iv1 < r_last)
+    rmin2 = jnp.min(jnp.minimum(jnp.where(in0, iv0, big),
+                                jnp.where(in1, iv1, big)))
+    rmax2 = jnp.max(jnp.maximum(jnp.where(in0, iv0, -1),
+                                jnp.where(in1, iv1, -1)))
+
     for k in range(4 * C):
         q_ref[k] = jnp.zeros(shape, jnp.float32)
 
@@ -265,7 +281,13 @@ def _gather_corners(tbl_ref, setup, base_s, wl, active, C, q_ref):
                           ((rowstart + umax) >> 7) + 1, cbody, 0)
         return carry
 
-    jax.lax.fori_loop(rmin, rmax + 1, rbody, 0)
+    rbody(r_first, 0)
+
+    @pl.when(r_last != r_first)
+    def _last_row():
+        rbody(r_last, 0)
+
+    jax.lax.fori_loop(rmin2, rmax2 + 1, rbody, 0)
 
 
 def _build_kernel(mode, C, L, meta, boundary_mode, filter_mode):
