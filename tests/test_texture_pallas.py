@@ -91,13 +91,14 @@ def test_texture_fused_fd_gradient():
     """Finite differences directly against the fused path (uv grads)."""
     tex, uv, uv_da, _ = _case(H=9, W=11, th=16, tw=16)
 
+    @jax.jit
     def loss(u):
         o = texture(tex, u, uv_da=uv_da,
                     filter_mode="linear-mipmap-linear",
                     impl="pallas_interpret")
         return jnp.sum(o ** 2)
 
-    g = jax.grad(loss)(uv)
+    g = jax.jit(jax.grad(loss))(uv)
     rng = np.random.RandomState(3)
     for _ in range(4):
         b, i, j, k = (rng.randint(s) for s in uv.shape)
