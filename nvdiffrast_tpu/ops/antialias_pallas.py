@@ -45,7 +45,8 @@ def supported(C, R):
 
 def _blkr(C):
     # Rows per block: trade VMEM (inputs+outputs are ~6C+30 tiles of
-    # BLKR x 128 floats, double-buffered) against grid overhead.
+    # BLKR x 128 floats, double-buffered) against per-step DMA/grid
+    # overhead. 512 rows overflow the 16 MB scoped budget at C=3.
     return 256 if C <= 4 else 128
 
 
