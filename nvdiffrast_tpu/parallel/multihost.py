@@ -46,12 +46,19 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
                 or os.environ.get("TPU_WORKER_HOSTNAMES")
                 or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
             return  # single-process environment
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        **kwargs,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:
+        # Backend already initialized (single-process run that merely
+        # inherited pod-ish env vars) — proceed single-process.
+        import warnings
+
+        warnings.warn(f"multihost.initialize skipped: {e}", stacklevel=2)
 
 
 def pod_mesh(axis_names=("dp", "sp"), dp_over_hosts=True, devices=None):
