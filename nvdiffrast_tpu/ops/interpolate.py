@@ -40,11 +40,11 @@ def _int_zero_ct(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _pixel_tables(attr, rast, tri, instance_mode, attr_bc):
-    """Shared fwd/bwd plumbing: flat ids + gathered attr table rows.
+def _pixel_ids(attr, rast, tri, instance_mode, attr_bc):
+    """Shared plumbing: attr table + flat ids + masked barys.
 
-    Returns (rid [N], g3 [3A, N] channel-major, b0, b1, b2 [N],
-    valid [N], meta). meta = (B, H, W, A, R, T).
+    Returns (rid [N], tbl [3A, R+1], b0, b1, b2 [N], valid [N], meta).
+    meta = (B, H, W, A, R, T).
     """
     B, H, W, _ = rast.shape
     T = tri.shape[0]
@@ -70,13 +70,30 @@ def _pixel_tables(attr, rast, tri, instance_mode, attr_bc):
     else:
         rid = jnp.where(valid, tid, R)
 
-    g3 = table_take(tbl, rid)  # [3A, N]
-
     r2 = rast.reshape(N, 4)
     b0 = jnp.where(valid, r2[:, 0], 0.0)
     b1 = jnp.where(valid, r2[:, 1], 0.0)
     b2 = jnp.where(valid, 1.0 - r2[:, 0] - r2[:, 1], 0.0)
-    return rid, g3, b0, b1, b2, valid, (B, H, W, A, R, T)
+    return rid, tbl, b0, b1, b2, valid, (B, H, W, A, R, T)
+
+
+def _use_fused(impl, A, n_rows, N):
+    from . import interpolate_pallas as ip
+
+    want = (impl in ("pallas", "pallas_interpret")
+            or (impl == "auto" and jax.default_backend() == "tpu"))
+    return want and ip.supported(A, n_rows, N, force=(impl != "auto"))
+
+
+def _pixel_tables(attr, rast, tri, instance_mode, attr_bc):
+    """Plumbing + gathered attr table rows (XLA path).
+
+    Returns (rid [N], g3 [3A, N] channel-major, b0, b1, b2 [N],
+    valid [N], meta)."""
+    rid, tbl, b0, b1, b2, valid, meta = _pixel_ids(
+        attr, rast, tri, instance_mode, attr_bc)
+    g3 = table_take(tbl, rid)  # [3A, N]
+    return rid, g3, b0, b1, b2, valid, meta
 
 
 def _db_cols(rast_db, valid, N):
@@ -85,7 +102,7 @@ def _db_cols(rast_db, valid, N):
 
 
 def _interp_fwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
-                     attr_bc, tables=None):
+                     attr_bc, tables=None, impl="auto"):
     if tables is None:
         tables = _pixel_tables(attr, rast, tri, instance_mode, attr_bc)
     rid, g3, b0, b1, b2, valid, meta = tables
@@ -184,27 +201,98 @@ def _interp_bwd_core(attr, rast, rast_db, tri, diff_list, instance_mode,
     return g_attr, g_rast, g_rast_db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _interp_fwd_fused(attr, rast, rast_db, tri, diff_list, instance_mode,
+                      attr_bc, interpret):
+    from . import interpolate_pallas as ip
+
+    rid, tbl, b0, b1, b2, valid, meta = _pixel_ids(
+        attr, rast, tri, instance_mode, attr_bc)
+    B, H, W, A, R, T = meta
+    N = B * H * W
+    D = len(diff_list)
+    db_cols = _db_cols(rast_db, valid, N) if D else None
+    out_cm, da_cm = ip.interp_forward_fused(
+        tbl, rid, b0, b1, b2, valid, db_cols, A, diff_list,
+        interpret=interpret)
+    return (out_cm.T.reshape(B, H, W, A),
+            da_cm.T.reshape(B, H, W, 2 * D))
+
+
+def _interp_bwd_fused(attr, rast, rast_db, tri, diff_list, instance_mode,
+                      attr_bc, gy, gda, interpret):
+    from . import interpolate_pallas as ip
+
+    rid, tbl, b0, b1, b2, valid, meta = _pixel_ids(
+        attr, rast, tri, instance_mode, attr_bc)
+    B, H, W, A, R, T = meta
+    N = B * H * W
+    D = len(diff_list)
+    db_cols = _db_cols(rast_db, valid, N) if D else None
+    gy2 = gy.reshape(N, A)
+    gy_cols = [gy2[:, a] for a in range(A)]
+    gda_cols = None
+    if D:
+        gda2 = gda.reshape(N, 2 * D)
+        gda_cols = [gda2[:, c] for c in range(2 * D)]
+
+    grast01, gval, gdb = ip.interp_backward_fused(
+        tbl, rid, b0, b1, b2, valid, db_cols, gy_cols, gda_cols, A,
+        diff_list, interpret=interpret)
+
+    zeros = jnp.zeros_like(grast01[0])
+    g_rast = jnp.stack([grast01[0], grast01[1], zeros, zeros],
+                       axis=-1).reshape(B, H, W, 4)
+    g_rast_db = None
+    if D:
+        g_rast_db = jnp.stack([gdb[c] for c in range(4)],
+                              axis=-1).reshape(B, H, W, 4)
+
+    gt = scatter_add_by_id(rid, gval, R)  # [(B*)T, 3A]
+    gt = gt.reshape(-1, T, 3, A)
+    if instance_mode and not attr_bc:
+        g_attr = jnp.zeros(attr.shape, jnp.float32)
+        g_attr = g_attr.at[:, tri].add(gt, mode="drop")
+    else:
+        Va = attr.shape[-2]
+        g2 = jnp.zeros((Va, A), jnp.float32).at[tri].add(gt[0], mode="drop")
+        g_attr = g2[None] if instance_mode else g2
+    return g_attr, g_rast, g_rast_db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _interpolate_prim(attr, rast, rast_db, tri, diff_list, instance_mode,
-                      attr_bc):
-    return _interp_fwd_core(attr, rast, rast_db, tri, diff_list,
-                            instance_mode, attr_bc)
+                      attr_bc, impl):
+    return _interpolate_prim_fwd(attr, rast, rast_db, tri, diff_list,
+                                 instance_mode, attr_bc, impl)[0]
 
 
 def _interpolate_prim_fwd(attr, rast, rast_db, tri, diff_list, instance_mode,
-                          attr_bc):
+                          attr_bc, impl):
+    A = attr.shape[-1]
+    B, H, W, _ = rast.shape
+    n_rows = (B if (instance_mode and not attr_bc) else 1) * tri.shape[0]
+    if _use_fused(impl, A, n_rows, B * H * W):
+        outs = _interp_fwd_fused(attr, rast, rast_db, tri, diff_list,
+                                 instance_mode, attr_bc,
+                                 impl == "pallas_interpret")
+        return outs, (attr, rast, rast_db, tri, None)
     saved = _pixel_tables(attr, rast, tri, instance_mode, attr_bc)
     outs = _interp_fwd_core(attr, rast, rast_db, tri, diff_list,
                             instance_mode, attr_bc, tables=saved)
     return outs, (attr, rast, rast_db, tri, saved)
 
 
-def _interpolate_prim_bwd(diff_list, instance_mode, attr_bc, res, cts):
+def _interpolate_prim_bwd(diff_list, instance_mode, attr_bc, impl, res, cts):
     attr, rast, rast_db, tri, saved = res
     gy, gda = cts
-    g_attr, g_rast, g_rast_db = _interp_bwd_core(
-        attr, rast, rast_db, tri, diff_list, instance_mode, attr_bc, gy, gda,
-        saved=saved)
+    if saved is None:
+        g_attr, g_rast, g_rast_db = _interp_bwd_fused(
+            attr, rast, rast_db, tri, diff_list, instance_mode, attr_bc,
+            gy, gda, impl == "pallas_interpret")
+    else:
+        g_attr, g_rast, g_rast_db = _interp_bwd_core(
+            attr, rast, rast_db, tri, diff_list, instance_mode, attr_bc,
+            gy, gda, saved=saved)
     if g_rast_db is None:
         g_rast_db = jnp.zeros_like(rast_db)
     return (g_attr, g_rast, g_rast_db, _int_zero_ct(tri))
@@ -213,7 +301,8 @@ def _interpolate_prim_bwd(diff_list, instance_mode, attr_bc, res, cts):
 _interpolate_prim.defvjp(_interpolate_prim_fwd, _interpolate_prim_bwd)
 
 
-def interpolate(attr, rast, tri, rast_db=None, diff_attrs=None):
+def interpolate(attr, rast, tri, rast_db=None, diff_attrs=None,
+                impl="auto"):
     """Interpolate vertex attributes.
 
     API parity with the reference op (nvdiffrast/torch/ops.py:241-291).
@@ -274,4 +363,4 @@ def interpolate(attr, rast, tri, rast_db=None, diff_attrs=None):
 
     with jax.named_scope("nvdiffrast.interpolate"):
         return _interpolate_prim(attr, rast, rast_db, tri, diff_list,
-                                 bool(instance_mode), bool(attr_bc))
+                                 bool(instance_mode), bool(attr_bc), impl)
