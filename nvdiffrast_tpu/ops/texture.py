@@ -707,11 +707,24 @@ def _texture_impl(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
     if (want_fused and filter_mode != "nearest"
             and tp.supported(C, n_texels, N, cube_mode, boundary_mode,
                              force=(impl != "auto"))):
-        out_cm = tp.sample_fused(
-            flat.T, uv[:, 0], uv[:, 1],
-            flevel if flevel is not None else jnp.zeros((N,), jnp.float32),
-            tz, smeta, len(levels), boundary_mode, filter_mode, (B, H, W),
-            impl == "pallas_interpret")
+        fl = flevel if flevel is not None else jnp.zeros((N,), jnp.float32)
+        if cube_mode:
+            finfo = _cube_faceid(uv[:, 0], uv[:, 1], uv[:, 2])
+            sc, tc, finite = _cube_project(finfo, uv[:, 0], uv[:, 1],
+                                           uv[:, 2])
+            # meta entries are (off, h, w) per level with face-block
+            # rows; the cube kernel needs (off, w, w) per face.
+            out_cm = tp.sample_cube_fused(
+                flat.T, sc, tc, fl, finite, finfo[0], tz,
+                tuple((off, int(lvl.shape[-2]), int(lvl.shape[-2]))
+                      for (off, _, _), lvl in zip(smeta, levels)),
+                len(levels), filter_mode, (B, H, W),
+                impl == "pallas_interpret")
+        else:
+            out_cm = tp.sample_fused(
+                flat.T, uv[:, 0], uv[:, 1], fl,
+                tz, smeta, len(levels), boundary_mode, filter_mode,
+                (B, H, W), impl == "pallas_interpret")
         return unflatten(out_cm.T)
 
     # ---- nearest ----

@@ -83,8 +83,11 @@ def _tile_unorder(x, B, H, W):
 def supported(C, n_texels, N, cube_mode, boundary_mode, force=False):
     """Can the fused path serve this config? `force` skips the
     profitability heuristic (explicit impl= request)."""
-    return (not cube_mode
-            and boundary_mode in ("wrap", "clamp", "zero")
+    if cube_mode:
+        return (C <= _MAX_CHANNELS
+                and (force or N >= _MIN_N)
+                and C * _cdiv(n_texels, LANE) * LANE <= _MAX_VMEM_TABLE)
+    return (boundary_mode in ("wrap", "clamp", "zero")
             and C <= _MAX_CHANNELS
             and (force or N >= _MIN_N)
             and C * _cdiv(n_texels, LANE) * LANE <= _MAX_VMEM_TABLE)
@@ -206,50 +209,65 @@ def _prep_table(tbl_cm):
 
 
 def _gather_corners(tbl_ref, setup, base_s, wl, active, C, q_ref):
-    """q_ref[4c + corner] <- tbl[c, corner texel] for active pixels.
-
-    2-D bounded sweep: iterates the texel ROWS of the block's uv
-    bounding box, and within each row only the 128-lane chunks its
-    u-range touches — so cost scales with the bbox area, not with the
-    texture width (a flat id sweep would walk every chunk of every
-    bbox row). `base_s` is the block-constant row-0 flat offset
-    (level offset + tz * level texels; tz is constant per block since
-    blocks never straddle minibatch images).
-    """
+    """2-D texture corner gather (see _gather_rc)."""
     iu0, iu1, iv0, iv1 = setup[:4]
-    ids4 = (base_s + iv0 * wl + iu0, base_s + iv0 * wl + iu1,
-            base_s + iv1 * wl + iu0, base_s + iv1 * wl + iu1)
+    _gather_rc(tbl_ref, (iv0, iv0, iv1, iv1), (iu0, iu1, iu0, iu1),
+               base_s, wl, active, C, q_ref)
+
+
+def _gather_rc(tbl_ref, rows4, cols4, base_s, wl, active, C, q_ref):
+    """q_ref[4c + corner] <- tbl[c, base_s + row*wl + col] per corner.
+
+    Bounded 2-D sweep: iterates the texel ROWS of the block's bounding
+    box, and within each row only the 128-lane chunks its column range
+    touches — so cost scales with the bbox area, not with the texture
+    width (a flat id sweep would walk every chunk of every bbox row).
+    `base_s` is a block-constant flat offset (level offset; tz / face
+    terms ride in `rows4`). Rows may span disjoint clusters (background
+    uv wrap, cube faces): the two extreme row values are visited
+    explicitly and only the strictly-interior interval is swept.
+    """
+    ids4 = tuple(base_s + r * wl + c for r, c in zip(rows4, cols4))
     his = [i >> 7 for i in ids4]
     los = [i & 127 for i in ids4]
-    shape = iu0.shape
+    shape = cols4[0].shape
     big = jnp.int32(1 << 30)
 
-    def mmin(a, b):
-        return jnp.min(jnp.where(active, jnp.minimum(a, b), big))
+    def mmin4(vals):
+        m = jnp.minimum(jnp.minimum(vals[0], vals[1]),
+                        jnp.minimum(vals[2], vals[3]))
+        return jnp.min(jnp.where(active, m, big))
 
-    def mmax(a, b):
-        return jnp.max(jnp.where(active, jnp.maximum(a, b), -1))
+    def mmax4(vals):
+        m = jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                        jnp.maximum(vals[2], vals[3]))
+        return jnp.max(jnp.where(active, m, -1))
 
-    umin = mmin(iu0, iu1)
-    umax = mmax(iu0, iu1)
-    rmin = mmin(iv0, iv1)
-    rmax = mmax(iv0, iv1)
+    umin = mmin4(cols4)
+    umax = mmax4(cols4)
+    rmin = mmin4(rows4)
+    rmax = mmax4(rows4)
 
     # Row clusters: blocks routinely mix a few exact far-apart row
     # values with a compact interval — e.g. background pixels at
-    # uv = (0, 0) in wrap mode touch texel rows {0, wl-1} while the
-    # surface pixels occupy a narrow band. Visiting the two extreme
-    # rows explicitly and sweeping only the strictly-interior interval
-    # keeps the loop linear in *occupied* rows, not the bbox height.
+    # uv = (0, 0) in wrap mode touch texel rows {0, wl-1}, cube-map
+    # corners wrap onto other faces — while the surface pixels occupy
+    # a narrow band. Visiting the two extreme rows explicitly and
+    # sweeping only the strictly-interior interval keeps the loop
+    # linear in *occupied* rows, not the bbox height.
     any_act = rmax >= 0
     r_first = jnp.where(any_act, rmin, 0)
     r_last = jnp.where(any_act, rmax, 0)
-    in0 = active & (iv0 > r_first) & (iv0 < r_last)
-    in1 = active & (iv1 > r_first) & (iv1 < r_last)
-    rmin2 = jnp.min(jnp.minimum(jnp.where(in0, iv0, big),
-                                jnp.where(in1, iv1, big)))
-    rmax2 = jnp.max(jnp.maximum(jnp.where(in0, iv0, -1),
-                                jnp.where(in1, iv1, -1)))
+    lo2 = []
+    hi2 = []
+    for rr in rows4:
+        inr = active & (rr > r_first) & (rr < r_last)
+        lo2.append(jnp.where(inr, rr, big))
+        hi2.append(jnp.where(inr, rr, -1))
+    rmin2 = jnp.min(jnp.minimum(jnp.minimum(lo2[0], lo2[1]),
+                                jnp.minimum(lo2[2], lo2[3])))
+    rmax2 = jnp.max(jnp.maximum(jnp.maximum(hi2[0], hi2[1]),
+                                jnp.maximum(hi2[2], hi2[3])))
 
     for k in range(4 * C):
         q_ref[k] = jnp.zeros(shape, jnp.float32)
@@ -522,3 +540,333 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
 
 
 sample_fused.defvjp(_sample_fwd, _sample_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cube maps. Kernel-safe re-statements of the geometric seam wrap
+# (texture.py:_cube_face_direction/_cube_faceid/_cube_project) using
+# only 2-D wheres — no stacked [6, ...] intermediates, which Mosaic
+# cannot lower. Reference: csrc/common/texture_kernel.cu:26-120,
+# 591-639 (LUT wrap + corner averaging).
+# ---------------------------------------------------------------------------
+
+def _face_dir_2d(face, s, t):
+    """Texel (s, t) on `face` -> direction (chained-where form)."""
+    du = 2.0 * (s - 0.5)
+    dv = 2.0 * (t - 0.5)
+    one = jnp.ones_like(du)
+    x = jnp.where(face == 0, one,
+                  jnp.where(face == 1, -one,
+                            jnp.where(face == 5, -du, du)))
+    y = jnp.where(face == 2, one,
+                  jnp.where(face == 3, -one, -dv))
+    z = jnp.where(face == 0, -du,
+                  jnp.where(face == 1, du,
+                            jnp.where(face == 2, dv,
+                                      jnp.where(face == 3, -dv,
+                                                jnp.where(face == 4, one,
+                                                          -one)))))
+    return x, y, z
+
+
+def _faceid_project_2d(x, y, z):
+    """Direction -> (face, s, t) (chained-where form)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    az = jnp.abs(z)
+    z_major = az > jnp.maximum(ax, ay)
+    y_major = (~z_major) & (ay > ax)
+    x_major = ~(z_major | y_major)
+    c = jnp.where(z_major, z, jnp.where(y_major, y, x))
+    base = jnp.where(z_major, 4, jnp.where(y_major, 2, 0))
+    face = base + (c < 0).astype(base.dtype)
+    u_in = jnp.where(x_major, z, x)
+    v_in = jnp.where(y_major, z, y)
+    ok = jnp.abs(c) > 0
+    m = 0.5 / jnp.where(ok, jnp.abs(c), 1.0)
+    m0 = jnp.where((face == 0) | (face == 5), -m, m)
+    m1 = jnp.where(face == 2, m, -m)
+    return face, u_in * m0 + 0.5, v_in * m1 + 0.5
+
+
+def _wrap_corner_2d(face, ix, iy, w):
+    """(face, ix, iy) with possible 1-texel overflow -> wrapped
+    (face', ix', iy', valid). Diagonal (cube-corner) overflows are
+    invalid — filled by the average-of-3 rule."""
+    ix_out = (ix < 0) | (ix >= w)
+    iy_out = (iy < 0) | (iy >= w)
+    corner = ix_out & iy_out
+    inface = ~(ix_out | iy_out)
+
+    wf = jnp.float32(w)
+    s = (ix.astype(jnp.float32) + 0.5) / wf
+    t = (iy.astype(jnp.float32) + 0.5) / wf
+    dx, dy, dz = _face_dir_2d(face, s, t)
+    nface, s2, t2 = _faceid_project_2d(dx, dy, dz)
+    nix = jnp.clip(jnp.round(s2 * wf - 0.5).astype(jnp.int32), 0, w - 1)
+    niy = jnp.clip(jnp.round(t2 * wf - 0.5).astype(jnp.int32), 0, w - 1)
+
+    rface = jnp.where(inface, face, nface)
+    rix = jnp.where(inface, jnp.clip(ix, 0, w - 1), nix)
+    riy = jnp.where(inface, jnp.clip(iy, 0, w - 1), niy)
+    return rface, rix, riy, ~corner
+
+
+def cube_corner_setup(s, t, face, wl):
+    """Bilinear corner addressing on a cube face of size wl (static).
+
+    Returns (rows4, cols4, ok4, fu, fv, w4): per-corner face-combined
+    row index (face*wl + iy), column, validity (0/1 float), fractions,
+    and bilinear weights WITHOUT validity folded (the average-of-3
+    substitution needs them separate)."""
+    w = jnp.float32(wl)
+    u = s * w - 0.5
+    v = t * w - 0.5
+    iu0 = jnp.floor(u).astype(jnp.int32)
+    iv0 = jnp.floor(v).astype(jnp.int32)
+    iu1 = iu0 + 1
+    iv1 = iv0 + 1
+    fu = u - iu0.astype(jnp.float32)
+    fv = v - iv0.astype(jnp.float32)
+
+    rows4 = []
+    cols4 = []
+    ok4 = []
+    for ix, iy in ((iu0, iv0), (iu1, iv0), (iu0, iv1), (iu1, iv1)):
+        f_c, x_c, y_c, ok_c = _wrap_corner_2d(face, ix, iy, wl)
+        rows4.append(f_c * wl + y_c)
+        cols4.append(x_c)
+        ok4.append(ok_c.astype(jnp.float32))
+
+    gu = 1.0 - fu
+    gv = 1.0 - fv
+    w4 = (gu * gv, fu * gv, gu * fv, fu * fv)
+    return tuple(rows4), tuple(cols4), tuple(ok4), fu, fv, w4
+
+
+def _build_cube_kernel(mode, C, L, meta, filter_mode):
+    """Cube sampler kernel. meta entries are (off, w, w) per level."""
+
+    def kernel(*refs):
+        if mode == "fwd":
+            (tbl_ref, s_ref, t_ref, fl_ref, fin_ref, face_ref, tz_ref,
+             out_ref, q_ref) = refs
+        else:
+            (tbl_ref, s_ref, t_ref, fl_ref, fin_ref, face_ref, tz_ref,
+             dy_ref, gs_ref, gt_ref, gfl_ref, q_ref) = refs
+
+        sv = s_ref[...]
+        tv = t_ref[...]
+        fl = fl_ref[...]
+        finite = fin_ref[...] != 0
+        face = face_ref[...]
+        tz = tz_ref[...]
+        l0, l1, frac = level_weights(fl, L, filter_mode)
+
+        if mode == "fwd":
+            for c in range(C):
+                out_ref[c] = jnp.zeros(sv.shape, jnp.float32)
+        else:
+            dy = [dy_ref[c] for c in range(C)]
+            gs_ref[...] = jnp.zeros(sv.shape, jnp.float32)
+            gt_ref[...] = jnp.zeros(sv.shape, jnp.float32)
+            gfl_ref[...] = jnp.zeros(sv.shape, jnp.float32)
+
+        for lev in range(L):
+            off, wl, _ = meta[lev]
+            on0 = l0 == lev
+            on1 = l1 == lev
+            active = (on0 | on1) & finite
+            wgt = (jnp.where(on0, 1.0 - frac, 0.0)
+                   + jnp.where(on1, frac, 0.0))
+
+            rows4, cols4, ok4, fu, fv, w4 = cube_corner_setup(
+                sv, tv, face, wl)
+            # Face rows ride tz * 6 faces per image.
+            rows4 = tuple(tz[0, 0] * (6 * wl) + r for r in rows4)
+            _gather_rc(tbl_ref, rows4, cols4, off, wl, active, C, q_ref)
+
+            # Average-of-3 substitution for missing cube corners
+            # (texture_kernel.cu:591-639): q'_i = ok ? q : avg(ok q).
+            n_ok = jnp.maximum(ok4[0] + ok4[1] + ok4[2] + ok4[3], 1.0)
+            if mode == "fwd":
+                for c in range(C):
+                    q = [q_ref[4 * c + i] for i in range(4)]
+                    avg = (ok4[0] * q[0] + ok4[1] * q[1] + ok4[2] * q[2]
+                           + ok4[3] * q[3]) / n_ok
+                    qq = [jnp.where(ok4[i] > 0, q[i], avg)
+                          for i in range(4)]
+                    val = (w4[0] * qq[0] + w4[1] * qq[1]
+                           + w4[2] * qq[2] + w4[3] * qq[3])
+                    out_ref[c] = out_ref[c] + jnp.where(active, wgt * val,
+                                                        0.0)
+            else:
+                gu = jnp.zeros(sv.shape, jnp.float32)
+                gvv = jnp.zeros(sv.shape, jnp.float32)
+                gl = jnp.zeros(sv.shape, jnp.float32)
+                for c in range(C):
+                    q = [q_ref[4 * c + i] for i in range(4)]
+                    avg = (ok4[0] * q[0] + ok4[1] * q[1] + ok4[2] * q[2]
+                           + ok4[3] * q[3]) / n_ok
+                    qq = [jnp.where(ok4[i] > 0, q[i], avg)
+                          for i in range(4)]
+                    dqu = (1.0 - fv) * (qq[1] - qq[0]) + fv * (qq[3] - qq[2])
+                    dqv = (1.0 - fu) * (qq[2] - qq[0]) + fu * (qq[3] - qq[1])
+                    val = (w4[0] * qq[0] + w4[1] * qq[1]
+                           + w4[2] * qq[2] + w4[3] * qq[3])
+                    gu = gu + dy[c] * dqu
+                    gvv = gvv + dy[c] * dqv
+                    gl = gl + dy[c] * val
+                gs_ref[...] = gs_ref[...] + jnp.where(active,
+                                                      wgt * gu * wl, 0.0)
+                gt_ref[...] = gt_ref[...] + jnp.where(active,
+                                                      wgt * gvv * wl, 0.0)
+                dwdf = (jnp.where(on1, 1.0, 0.0)
+                        - jnp.where(on0, 1.0, 0.0))
+                gfl_ref[...] = gfl_ref[...] + jnp.where(
+                    active, dwdf * gl, 0.0)
+
+    return kernel
+
+
+def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
+               L, C, filter_mode, interpret=False):
+    """All per-pixel arrays arrive tile-major (see _tile_order)."""
+    N = s.shape[0]
+    BLKR = TILE_H
+    rows_p = N // LANE
+    assert rows_p % BLKR == 0
+
+    tbl3 = _prep_table(flat_cm)
+    HI = tbl3.shape[1]
+
+    args = [_flatpad(a, rows_p) for a in (s, t, flevel)]
+    args.append(_flatpad(finite.astype(jnp.int32), rows_p))
+    args.append(_flatpad(face, rows_p))
+    args.append(_flatpad(tz, rows_p))
+    if mode == "bwd":
+        args.append(_flatpad(dy_cm, rows_p))
+
+    flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    chan_spec = pl.BlockSpec((C, BLKR, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    tbl_spec = pl.BlockSpec((C, HI, LANE), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [tbl_spec] + [flat_spec] * 6
+    if mode == "bwd":
+        in_specs.append(chan_spec)
+        out_specs = [flat_spec] * 3
+        out_shape = [jax.ShapeDtypeStruct((rows_p, LANE), jnp.float32)] * 3
+    else:
+        out_specs = [chan_spec]
+        out_shape = [jax.ShapeDtypeStruct((C, rows_p, LANE), jnp.float32)]
+
+    kernel = _build_cube_kernel(mode, C, L, meta, filter_mode)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rows_p // BLKR,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((4 * C, BLKR, LANE), jnp.float32)],
+        interpret=interpret,
+    )(tbl3, *args)
+
+    def unflat(a):
+        return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
+
+    if mode == "fwd":
+        return unflat(outs[0])
+    return tuple(unflat(o) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def sample_cube_fused(flat_cm, s, t, flevel, finite, face, tz, meta, L,
+                      filter_mode, shape, interpret):
+    """Seamless cube-map sample. flat_cm: [C, NT] channel-major packed
+    pyramid of [D, 6, w, w, C] levels; s, t, flevel flat [N] (s, t from
+    the differentiable face projection, clamped to [0, 1]); finite:
+    [N] bool valid-lookup mask; face, tz: [N] int32. Returns [C, N]."""
+    C = flat_cm.shape[0]
+    B, H, W = shape
+    st_, tt_, flt = (_tile_order(a, B, H, W) for a in (s, t, flevel))
+    fint = _tile_order(finite, B, H, W, fill=False)
+    facet = _tile_order(face, B, H, W)
+    tzt = _tile_order(tz, B, H, W)
+    out = _call_cube("fwd", flat_cm, st_, tt_, flt, fint, facet, tzt, None,
+                     meta, L, C, filter_mode, interpret=interpret)
+    return _tile_unorder(out, B, H, W)
+
+
+def _sample_cube_fwd(flat_cm, s, t, flevel, finite, face, tz, meta, L,
+                     filter_mode, shape, interpret):
+    out = sample_cube_fused(flat_cm, s, t, flevel, finite, face, tz, meta,
+                            L, filter_mode, shape, interpret)
+    return out, (flat_cm, s, t, flevel, finite, face, tz)
+
+
+def _sample_cube_bwd(meta, L, filter_mode, shape, interpret, saved, dy):
+    import numpy as np
+
+    from .scatter import scatter_add_by_id
+
+    flat_cm, s, t, flevel, finite, face, tz = saved
+    C, NT = flat_cm.shape
+    B, H, W = shape
+
+    st_, tt_, flt = (_tile_order(a, B, H, W) for a in (s, t, flevel))
+    fint = _tile_order(finite, B, H, W, fill=False)
+    facet = _tile_order(face, B, H, W)
+    tzt = _tile_order(tz, B, H, W)
+    dyt = _tile_order(dy, B, H, W, fill=0.0)
+
+    gs, gt_, gfl = _call_cube(
+        "bwd", flat_cm, st_, tt_, flt, fint, facet, tzt, dyt, meta, L, C,
+        filter_mode, interpret=interpret)
+    gs = _tile_unorder(gs, B, H, W)
+    gt_ = _tile_unorder(gt_, B, H, W)
+    gfl = _tile_unorder(gfl, B, H, W)
+
+    # Texture gradients: recompute corner ids + effective weights
+    # (average-of-3 redistributes invalid-corner weight onto the valid
+    # corners: w_eff[j] = w_j ok_j + ok_j/n_ok * sum_i w_i (1 - ok_i)).
+    l0, l1, frac = level_weights(flt, L, filter_mode)
+    g_flat = None
+    if filter_mode == "linear-mipmap-linear":
+        slots = ((l0, 1.0 - frac), (l1, frac))
+    else:
+        slots = ((l0, jnp.ones_like(frac)),)
+    for lsel, lw in slots:
+        ids4 = None
+        w4s = None
+        for lev in range(L):
+            off, wl, _ = meta[lev]
+            on = lsel == lev
+            rows4, cols4, ok4, fu, fv, w4 = cube_corner_setup(
+                st_, tt_, facet, wl)
+            inv_w = sum(w4[i] * (1.0 - ok4[i]) for i in range(4))
+            n_ok = jnp.maximum(ok4[0] + ok4[1] + ok4[2] + ok4[3], 1.0)
+            base = off + tzt * (6 * wl * wl)
+            c_ids = [base + rows4[i] * wl + cols4[i] for i in range(4)]
+            c_w = [(w4[i] * ok4[i] + ok4[i] / n_ok * inv_w)
+                   * fint.astype(jnp.float32) for i in range(4)]
+            if ids4 is None:
+                ids4 = [jnp.where(on, i, 0) for i in c_ids]
+                w4s = [jnp.where(on, w, 0.0) for w in c_w]
+            else:
+                ids4 = [jnp.where(on, i, p) for i, p in zip(c_ids, ids4)]
+                w4s = [jnp.where(on, w, p) for w, p in zip(c_w, w4s)]
+        for corner in range(4):
+            vals = dyt * (w4s[corner] * lw)[None, :]  # [C, Np]
+            g = scatter_add_by_id(ids4[corner], vals, NT).T
+            g_flat = g if g_flat is None else g_flat + g
+
+    def int0(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (g_flat, gs, gt_, gfl, int0(finite), int0(face), int0(tz))
+
+
+sample_cube_fused.defvjp(_sample_cube_fwd, _sample_cube_bwd)

@@ -108,3 +108,60 @@ def test_texture_fused_fd_gradient():
         fd = (float(loss(up)) - float(loss(um))) / (2 * eps)
         np.testing.assert_allclose(float(g[b, i, j, k]), fd, atol=2e-2,
                                    rtol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Cube maps.
+# ---------------------------------------------------------------------------
+
+def _cube_case(seed=0, B=2, H=17, W=21, fw=16, C=3, D=1):
+    rng = np.random.RandomState(seed)
+    tex = jnp.asarray(rng.rand(D, 6, fw, fw, C).astype(np.float32))
+    # Directions including face-edge and corner crossers.
+    v = rng.randn(B, H, W, 3).astype(np.float32)
+    v[0, 0, 0] = [1.0, 1.0, 1.0]       # exact cube corner
+    v[0, 0, 1] = [1.0, 1.0, 0.0]       # face edge
+    v[0, 0, 2] = [0.0, 0.0, 0.0]       # invalid (zero vector)
+    uv = jnp.asarray(v)
+    uv_da = jnp.asarray((rng.randn(B, H, W, 6) * 0.05).astype(np.float32))
+    return tex, uv, uv_da
+
+
+@pytest.mark.parametrize("filter_mode", [
+    "linear", "linear-mipmap-linear"])
+def test_cube_fused_forward_parity(filter_mode):
+    tex, uv, uv_da = _cube_case()
+    kw = dict(filter_mode=filter_mode, boundary_mode="cube")
+    if "mipmap" in filter_mode:
+        kw["uv_da"] = uv_da
+    a = texture(tex, uv, impl="xla", **kw)
+    b = texture(tex, uv, impl="pallas_interpret", **kw)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cube_fused_minibatch_tex():
+    tex, uv, uv_da = _cube_case(D=2, B=2)
+    a = texture(tex, uv, uv_da=uv_da, filter_mode="linear-mipmap-linear",
+                boundary_mode="cube", impl="xla")
+    b = texture(tex, uv, uv_da=uv_da, filter_mode="linear-mipmap-linear",
+                boundary_mode="cube", impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cube_fused_gradient_parity():
+    tex, uv, uv_da = _cube_case(seed=2, H=13, W=15)
+
+    def loss(t, u, da, impl):
+        o = texture(t, u, uv_da=da, filter_mode="linear-mipmap-linear",
+                    boundary_mode="cube", impl=impl)
+        return jnp.sum(o ** 2 + 0.2 * o)
+
+    gx = jax.grad(loss, argnums=(0, 1, 2))(tex, uv, uv_da, "xla")
+    gp = jax.grad(loss, argnums=(0, 1, 2))(tex, uv, uv_da,
+                                           "pallas_interpret")
+    for n, a, b in zip(("g_tex", "g_uv", "g_uv_da"), gx, gp):
+        assert float(jnp.abs(a).sum()) > 0, n
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4, err_msg=n)
