@@ -40,7 +40,7 @@ def _measure(step, argsets):
     return max(t2 - t1, 1e-9) / (n2 - n1)
 
 
-def main(with_texture=False):
+def main(with_texture=True):
     import jax
     import jax.numpy as jnp
 
@@ -117,4 +117,6 @@ def main(with_texture=False):
 
 
 if __name__ == "__main__":
-    main(with_texture="--with-texture" in sys.argv[1:])
+    # The textured 4-op line is emitted by default (second JSON line)
+    # so the driver's BENCH record tracks both; --no-texture skips it.
+    main(with_texture="--no-texture" not in sys.argv[1:])

@@ -90,7 +90,13 @@ def antialias_construct_topology_hash(tri):
 # ---------------------------------------------------------------------------
 
 def _same_sign(a, b):
-    return (a < 0) == (b < 0)
+    # Sign-BIT comparison via int32 bitcast — matches the reference's
+    # __float_as_int test (antialias.cu:14-25) including on ±0.0
+    # (reachable wing areas from degenerate opposite vertices), where
+    # (a<0)==(b<0) would disagree.
+    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+    bi = jax.lax.bitcast_convert_type(b, jnp.int32)
+    return (ai ^ bi) >= 0
 
 
 def _rational_gt(n0, n1, d0, d1):

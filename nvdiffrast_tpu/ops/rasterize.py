@@ -369,8 +369,11 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
         # Fragment z-clip (geometric clip in the reference's
         # TriangleSetup; per-fragment here, exact for the z planes).
         # All depth comparisons are cross-multiplied rationals, never
-        # divided — the EXACT comparison the fused kernel performs, so
-        # the two paths pick bit-identical winners even in z-fights.
+        # divided — the same compare primitive the fused kernel uses.
+        # Note the merge ORDER differs (pairwise tree here, sequential
+        # in the kernel), so f32 cross-product rounding can pick
+        # different winners at (near-)tied depths; the parity sweep
+        # tolerates exactly those z-fight pixels.
         frag_ok = covered & (w > 0) & (jnp.abs(z) <= w)
         frag_ok &= vd[:, :, None, None]
         if peel_depth is not None:

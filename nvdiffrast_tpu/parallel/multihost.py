@@ -28,6 +28,16 @@ import numpy as np
 import jax
 
 
+def _distributed_client_active():
+    """True iff jax.distributed.initialize already ran in this process."""
+    try:
+        return jax.distributed.is_initialized()
+    except AttributeError:  # older jax
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+
+
 def initialize(coordinator_address=None, num_processes=None, process_id=None,
                **kwargs):
     """Initialize the JAX distributed runtime (idempotent).
@@ -36,29 +46,35 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     elsewhere pass them explicitly (reference: jax.distributed docs).
     Safe to call in single-process runs — a no-op when there is nothing
     to coordinate and no coordinator is configured.
+
+    MUST be called before any other JAX API that initializes the XLA
+    backends (jax.devices, jax.process_count, any computation). When a
+    coordinator IS configured (args or pod env vars) but the backend
+    was already touched, this raises — a silent single-process
+    fallback on a real pod would mean N independent jobs, not one.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        import os
+    if _distributed_client_active():
+        return  # idempotent: distributed runtime already up
+    import os
 
-        if not (os.environ.get("COORDINATOR_ADDRESS")
-                or os.environ.get("TPU_WORKER_HOSTNAMES")
-                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
-            return  # single-process environment
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            **kwargs,
-        )
-    except RuntimeError as e:
-        # Backend already initialized (single-process run that merely
-        # inherited pod-ish env vars) — proceed single-process.
-        import warnings
-
-        warnings.warn(f"multihost.initialize skipped: {e}", stacklevel=2)
+    # TPU_WORKER_HOSTNAMES is a comma-separated worker list; a single
+    # entry (e.g. 'localhost' on one-chip dev machines) is NOT a pod.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    env_pod = bool(os.environ.get("COORDINATOR_ADDRESS")
+                   or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+                   or len([w for w in workers.split(",") if w.strip()]) > 1)
+    if coordinator_address is None and num_processes is None and not env_pod:
+        return  # single-process environment
+    # May raise RuntimeError ('must be called before any JAX
+    # computations') if the backend was touched first. That is a real
+    # multi-process setup going wrong — never downgrade it to a
+    # warning: a silent fallback on a pod means N independent jobs.
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
 
 
 def pod_mesh(axis_names=("dp", "sp"), dp_over_hosts=True, devices=None):
@@ -88,11 +104,20 @@ def local_batch_slice(global_batch, mesh, dp_axis="dp"):
     """Host-local slice bounds of a dp-sharded global batch.
 
     Multi-host data loading: each process feeds only its own shard.
-    Returns (start, size) for this process along the batch axis.
+    Returns (start, size) for this process along the batch axis,
+    derived from the mesh's actual device layout (which dp coordinates
+    this process's local devices cover) — correct for dp-over-hosts,
+    dp-within-host, and mixed layouts alike.
     """
     n_dp = mesh.shape[dp_axis]
     per = global_batch // n_dp
-    # dp is laid out over hosts (pod_mesh): process i owns shard i.
-    start = (jax.process_index() * n_dp // jax.process_count()) * per
-    size = per * max(1, n_dp // jax.process_count())
-    return start, size
+    axis = mesh.axis_names.index(dp_axis)
+    dev = np.asarray(mesh.devices)
+    pid = jax.process_index()
+    proc = np.vectorize(lambda d: d.process_index)(dev)
+    coords = np.argwhere(proc == pid)
+    if coords.size == 0:
+        return 0, 0  # process owns no device of this mesh
+    dp_lo = int(coords[:, axis].min())
+    dp_hi = int(coords[:, axis].max())
+    return dp_lo * per, (dp_hi - dp_lo + 1) * per
