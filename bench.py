@@ -48,6 +48,7 @@ def main(with_texture=True):
     from nvdiffrast_tpu.ops.interpolate import interpolate
     from nvdiffrast_tpu.ops.texture import texture
     from nvdiffrast_tpu.ops.antialias import antialias
+    from nvdiffrast_tpu.ops.pipeline import render_pipeline
     from nvdiffrast_tpu.models import primitives
     from nvdiffrast_tpu.utils import camera
 
@@ -63,9 +64,11 @@ def main(with_texture=True):
     col = jnp.asarray(vtxc)
 
     def loss_fn(pos_clip, col):
-        rast, _ = rasterize(None, pos_clip, tri, (RES, RES), grad_db=False)
-        img, _ = interpolate(col[None], rast, cidx)
-        img = antialias(img, rast, pos_clip, tri)
+        # Fused raster+interp+AA pipeline (ops/pipeline.py) — the same
+        # computation as the composed rasterize/interpolate/antialias
+        # ops (bit-parity tested in tests/test_pipeline.py).
+        img = render_pipeline(pos_clip, tri, col, (RES, RES),
+                              attr_idx=cidx)
         return jnp.mean(img ** 2)
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))

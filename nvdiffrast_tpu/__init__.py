@@ -20,6 +20,7 @@ from .ops.rasterize import rasterize, DepthPeeler, RasterizeCudaContext, Rasteri
 from .ops.interpolate import interpolate
 from .ops.texture import texture, texture_construct_mip, TextureMipWrapper
 from .ops.antialias import antialias, antialias_construct_topology_hash, TopologyHashWrapper
+from .ops.pipeline import render_pipeline
 from .ops.coord import triidx_to_float, float_to_triidx
 from .utils.log import get_log_level, set_log_level
 
@@ -36,6 +37,7 @@ __all__ = [
     "antialias",
     "antialias_construct_topology_hash",
     "TopologyHashWrapper",
+    "render_pipeline",
     "triidx_to_float",
     "float_to_triidx",
     "get_log_level",

@@ -140,7 +140,7 @@ def _sort_records(records, aabb, nty, ntx, tile_w):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
-                 use_remap, ntx, bc_many):
+                 use_remap, ntx, bc_many, emit_db=True):
     """Build the fused coverage+shade kernel.
 
     Accumulator channel mapping during the chunk sweep (all
@@ -150,6 +150,12 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
       dudy <- cx0  dvdx <- cy0   dvdy <- cx1
       scratch: cy1, cx2, cy2
     The final grid step rewrites them in place as the real outputs.
+
+    emit_db=False drops the bary-derivative channels entirely (the
+    6 db coefficient selects per candidate and the final-step db math):
+    outputs are (u, v, zw, idf, zbuf) with pw carried in scratch.
+    Used by the fused render pipeline, whose headline path never
+    consumes rast_db.
     """
     xs = float(xs)
     xo = float(xo)
@@ -174,8 +180,11 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
             rest = rest[1:]
         # Viewport row offset (band rendering): global row = local + y0.
         y0i = y0_ref[0, 0] if has_vp else 0
-        (u_ref, v_ref, zw_ref, idf_ref, dudx_ref, dudy_ref, dvdx_ref,
-         dvdy_ref, zbuf_ref, cy1_ref, cx2_ref, cy2_ref) = rest
+        if emit_db:
+            (u_ref, v_ref, zw_ref, idf_ref, dudx_ref, dudy_ref, dvdx_ref,
+             dvdy_ref, zbuf_ref, cy1_ref, cx2_ref, cy2_ref) = rest
+        else:
+            (u_ref, v_ref, zw_ref, idf_ref, zbuf_ref, pw_ref) = rest
 
         ty = pl.program_id(1)
         tx = pl.program_id(2)
@@ -184,15 +193,21 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
         @pl.when(c == 0)
         def _():
             zbuf_ref[...] = jnp.full((1, TILE_H, tile_w), _BIG, jnp.float32)
-            dudx_ref[...] = jnp.ones((1, TILE_H, tile_w), jnp.float32)
             idf_ref[...] = jnp.full((1, TILE_H, tile_w), _ID_INVALID,
                                     jnp.float32)
             z = jnp.zeros((1, TILE_H, tile_w), jnp.float32)
-            for r in (u_ref, v_ref, zw_ref, dudy_ref, dvdx_ref, dvdy_ref):
-                r[...] = z
             z2 = jnp.zeros((TILE_H, tile_w), jnp.float32)
-            for r in (cy1_ref, cx2_ref, cy2_ref):
-                r[...] = z2
+            if emit_db:
+                dudx_ref[...] = jnp.ones((1, TILE_H, tile_w), jnp.float32)
+                for r in (u_ref, v_ref, zw_ref, dudy_ref, dvdx_ref,
+                          dvdy_ref):
+                    r[...] = z
+                for r in (cy1_ref, cx2_ref, cy2_ref):
+                    r[...] = z2
+            else:
+                pw_ref[...] = jnp.ones((TILE_H, tile_w), jnp.float32)
+                for r in (u_ref, v_ref, zw_ref):
+                    r[...] = z
 
         # Tile pixel bounds (pixel-index units).
         ty0 = (ty * TILE_H).astype(jnp.float32)
@@ -244,17 +259,18 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
                 peel = peel_ref[0, dsy, dsx]
 
             az = zbuf_ref[0, dsy, dsx]
-            aw = dudx_ref[0, dsy, dsx]
+            aw = dudx_ref[0, dsy, dsx] if emit_db else pw_ref[dsy, dsx]
             aid = idf_ref[0, dsy, dsx]
             a_pa0 = u_ref[0, dsy, dsx]
             a_pa1 = v_ref[0, dsy, dsx]
             a_pa2 = zw_ref[0, dsy, dsx]
-            a_cx0 = dudy_ref[0, dsy, dsx]
-            a_cy0 = dvdx_ref[0, dsy, dsx]
-            a_cx1 = dvdy_ref[0, dsy, dsx]
-            a_cy1 = cy1_ref[dsy, dsx]
-            a_cx2 = cx2_ref[dsy, dsx]
-            a_cy2 = cy2_ref[dsy, dsx]
+            if emit_db:
+                a_cx0 = dudy_ref[0, dsy, dsx]
+                a_cy0 = dvdx_ref[0, dsy, dsx]
+                a_cx1 = dvdy_ref[0, dsy, dsx]
+                a_cy1 = cy1_ref[dsy, dsx]
+                a_cx2 = cx2_ref[dsy, dsx]
+                a_cy2 = cy2_ref[dsy, dsx]
 
             for k in range(GROUP):
                 def s(i):
@@ -303,25 +319,29 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
                 a_pa0 = jnp.where(better, pa0, a_pa0)
                 a_pa1 = jnp.where(better, pa1, a_pa1)
                 a_pa2 = jnp.where(better, pa2, a_pa2)
-                a_cx0 = jnp.where(better, s(17), a_cx0)
-                a_cy0 = jnp.where(better, s(18), a_cy0)
-                a_cx1 = jnp.where(better, s(20), a_cx1)
-                a_cy1 = jnp.where(better, s(21), a_cy1)
-                a_cx2 = jnp.where(better, s(23), a_cx2)
-                a_cy2 = jnp.where(better, s(24), a_cy2)
+                if emit_db:
+                    a_cx0 = jnp.where(better, s(17), a_cx0)
+                    a_cy0 = jnp.where(better, s(18), a_cy0)
+                    a_cx1 = jnp.where(better, s(20), a_cx1)
+                    a_cy1 = jnp.where(better, s(21), a_cy1)
+                    a_cx2 = jnp.where(better, s(23), a_cx2)
+                    a_cy2 = jnp.where(better, s(24), a_cy2)
 
             zbuf_ref[0, dsy, dsx] = az
-            dudx_ref[0, dsy, dsx] = aw
             idf_ref[0, dsy, dsx] = aid
             u_ref[0, dsy, dsx] = a_pa0
             v_ref[0, dsy, dsx] = a_pa1
             zw_ref[0, dsy, dsx] = a_pa2
-            dudy_ref[0, dsy, dsx] = a_cx0
-            dvdx_ref[0, dsy, dsx] = a_cy0
-            dvdy_ref[0, dsy, dsx] = a_cx1
-            cy1_ref[dsy, dsx] = a_cy1
-            cx2_ref[dsy, dsx] = a_cx2
-            cy2_ref[dsy, dsx] = a_cy2
+            if emit_db:
+                dudx_ref[0, dsy, dsx] = aw
+                dudy_ref[0, dsy, dsx] = a_cx0
+                dvdx_ref[0, dsy, dsx] = a_cy0
+                dvdy_ref[0, dsy, dsx] = a_cx1
+                cy1_ref[dsy, dsx] = a_cy1
+                cx2_ref[dsy, dsx] = a_cx2
+                cy2_ref[dsy, dsx] = a_cy2
+            else:
+                pw_ref[dsy, dsx] = aw
 
         @pl.when(chunk_hit)
         def _():
@@ -370,17 +390,11 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
         @pl.when(c == nc - 1)
         def _():
             pz = zbuf_ref[0]
-            pw = dudx_ref[0]
+            pw = dudx_ref[0] if emit_db else pw_ref[...]
             idf = idf_ref[0]
             pa0 = u_ref[0]
             pa1 = v_ref[0]
             pa2 = zw_ref[0]
-            cx0 = dudy_ref[0]
-            cy0 = dvdx_ref[0]
-            cx1 = dvdy_ref[0]
-            cy1 = cy1_ref[...]
-            cx2 = cx2_ref[...]
-            cy2 = cy2_ref[...]
 
             valid = idf < _ID_VALID_THRESH
             iw = 1.0 / (pa0 + pa1 + pa2)
@@ -391,6 +405,26 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
             b1 = b1 * bs
             depth = pz / pw
             zwv = jnp.clip(depth, -1.0, 1.0)
+
+            if not emit_db:
+                zero = jnp.zeros_like(b0)
+
+                def sel(v, empty=zero):
+                    return jnp.where(valid, v, empty)[None]
+
+                u_ref[...] = sel(b0)
+                v_ref[...] = sel(b1)
+                zw_ref[...] = sel(zwv)
+                idf_ref[...] = sel(idf)
+                zbuf_ref[...] = sel(depth, jnp.full_like(b0, jnp.inf))
+                return
+
+            cx0 = dudy_ref[0]
+            cy0 = dvdx_ref[0]
+            cx1 = dvdy_ref[0]
+            cy1 = cy1_ref[...]
+            cx2 = cx2_ref[...]
+            cy2 = cy2_ref[...]
 
             da0dx = -cx0
             da1dx = -cx1
@@ -481,7 +515,8 @@ def _build_records(tv, tri_ids):
 
 
 def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
-                    interpret=False, viewport=None):
+                    interpret=False, viewport=None, emit_db=True,
+                    flat=False):
     """Fused Pallas rasterize forward.
 
     Args:
@@ -495,9 +530,16 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
       viewport: optional (y0, full_height) — render rows [y0, y0 + H)
         of a full_height-tall image (y0 may be traced). Band output is
         bit-identical to the same rows of the full render.
+      emit_db: compute the bary pixel-differential image. False halves
+        the accumulator channels (used by the fused render pipeline).
+      flat: return per-channel [B, H, W] buffers instead of stacked
+        [B, H, W, 4] images (skips the channel-interleave transpose).
 
     Returns:
-      out [B, H, W, 4], out_db [B, H, W, 4], zbuf [B, H, W] f32.
+      default: (out [B, H, W, 4], out_db [B, H, W, 4], zbuf [B, H, W]).
+      flat=True: tuple of [B, H, W] f32 buffers —
+        (u, v, zw, idf, zbuf) if not emit_db else
+        (u, v, zw, idf, dudx, dudy, dvdx, dvdy, zbuf).
     """
     from . import coord
 
@@ -603,7 +645,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
         remap = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
 
     kernel = _make_kernel(xs_, xo_, ys_, yo_, has_vp, nc, gpc, tile_w,
-                          has_peel, use_remap, ntx, Bc > 1)
+                          has_peel, use_remap, ntx, Bc > 1, emit_db=emit_db)
 
     def _b(b):
         return b if Bc > 1 else 0
@@ -672,16 +714,18 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
 
     out_spec = pl.BlockSpec((1, TILE_H, tile_w), out_im,
                             memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)] * 9
+    n_out = 9 if emit_db else 5
+    out_shape = [jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)] * n_out
 
     grid = (B, nty, ntx, nc)
-    scratch = [pltpu.VMEM((TILE_H, tile_w), jnp.float32)] * 3
+    scratch = [pltpu.VMEM((TILE_H, tile_w), jnp.float32)] * (
+        3 if emit_db else 1)
     if use_remap:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[out_spec] * 9,
+            out_specs=[out_spec] * n_out,
             scratch_shapes=scratch,
         )
         outs = pl.pallas_call(
@@ -695,14 +739,23 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[out_spec] * 9,
+            out_specs=[out_spec] * n_out,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
         )(*inputs)
 
-    u, v, zw, idf, dudx, dudy, dvdx, dvdy, zbuf = [
-        o[:, :H, :W] for o in outs]
+    outs = [o[:, :H, :W] for o in outs]
+    if not emit_db:
+        u, v, zw, idf, zbuf = outs
+        if flat:
+            return u, v, zw, idf, zbuf
+        out = jnp.stack([u, v, zw, idf], axis=-1)
+        out_db = jnp.zeros(out.shape[:-1] + (4,), jnp.float32)
+        return out, out_db, zbuf
+    u, v, zw, idf, dudx, dudy, dvdx, dvdy, zbuf = outs
+    if flat:
+        return u, v, zw, idf, dudx, dudy, dvdx, dvdy, zbuf
     out = jnp.stack([u, v, zw, idf], axis=-1)
     out_db = jnp.stack([dudx, dudy, dvdx, dvdy], axis=-1)
     return out, out_db, zbuf
