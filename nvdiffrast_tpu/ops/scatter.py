@@ -27,8 +27,15 @@ _ONEHOT_MAX_ROWS = 16384
 # holds K * R floats regardless of the fold factor (8 MB budget).
 _PALLAS_MAX_ACC = 1 << 21
 _CHUNK = 1 << 15
-_P_CHUNK = 4096  # pixels per grid step (measured optimum on v5e)
-_QW = 512        # one-hot window width (lanes) per sweep step
+_P_CHUNK = 8192  # pixels per grid step (amortizes per-step DMA/grid
+                 # cost; 16384 overflows scoped VMEM via the F-expanded
+                 # value block)
+# One-hot window width per sweep step. The window build costs
+# _QW * _P_CHUNK vector compares per live window — the dominant cost
+# of the whole scatter — so the window is kept as narrow as the id
+# coherence allows: rasterized gradient streams are spatially sorted,
+# so a 4096-pixel chunk touches ~1 narrow window.
+_QW = 128
 
 
 def _cdiv(a, b):
@@ -83,13 +90,22 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
         # silhouette pairs; rasterize only covered pixels) — an
         # all-zero chunk contributes nothing, skip it entirely.
         chunk_live = jnp.any(vc != 0.0)
+        # All-zero LANES are excluded from the window range: inactive
+        # pixels carry a placeholder id (row 0), which would otherwise
+        # drag every chunk's sweep down to window 0 and force a
+        # one-hot + matmul for pure-zero columns.
+        lane_live = jnp.any(vc != 0.0, axis=0)
+        q = jnp.where(lane_live, q, QR + 1)
 
         # vals_exp[f*K + k, p] = vals[k, p] * (s_p == f)
-        rows = []
-        for f in range(F):
-            m = (s == f)[None, :]
-            rows.append(jnp.where(m, vc, 0.0))
-        ve = jnp.concatenate(rows, axis=0)  # [FK, P_CHUNK]
+        if F == 1:
+            ve = vc
+        else:
+            rows = []
+            for f in range(F):
+                m = (s == f)[None, :]
+                rows.append(jnp.where(m, vc, 0.0))
+            ve = jnp.concatenate(rows, axis=0)  # [FK, P_CHUNK]
         ve_hi = ve.astype(jnp.bfloat16)
         ve_lo = (ve - ve_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -178,8 +194,11 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
             method = "scatter"
 
     if method in ("pallas", "pallas_interpret"):
+        # The kernel is VPU-bound (one-hot build + F-expanded value
+        # block), not MXU-bound, so row folding only pays when K is
+        # tiny; wide value blocks run unfolded.
         F = 1
-        while (F * 2 * K <= 128) and (F < 8):
+        while K < 8 and (F * 2 * K <= 128) and (F < 8):
             F *= 2
         return _scatter_pallas(ids, vals_t, num_rows, F,
                                interpret=(method == "pallas_interpret"))
