@@ -165,3 +165,90 @@ def test_watertight_pallas_xla_identical():
         rp, _ = rasterize(None, pos, tri, res, impl="pallas_interpret")
         np.testing.assert_array_equal(np.asarray(rx[..., 3]),
                                       np.asarray(rp[..., 3]))
+
+
+def _nearclip_scene(rot90=False):
+    """Two triangles sharing edge A-B where B lies behind the w = eps
+    near plane. The visible part of the shared edge is the ray from
+    projected A toward the clip intersection's direction — interior to
+    the union, so it must be crack-free and single-covered."""
+    A = [0.0, -0.6, 0.0, 1.0]
+    B = [0.05, 0.9, -0.2, -0.4]   # w < eps: clipped
+    C1 = [-0.9, 0.2, 0.0, 1.3]
+    C2 = [0.8, 0.3, -0.1, 0.8]
+    verts = np.array([A, B, C1, C2], np.float32)
+    if rot90:
+        verts = verts[:, [1, 0, 2, 3]] * np.float32([1, -1, 1, 1])
+    # Manifold winding: edge A->B in tri 0, B->A in tri 1.
+    tri = np.array([[0, 1, 2], [1, 0, 3]], np.int32)
+    return jnp.asarray(verts[None]), jnp.asarray(tri)
+
+
+def _assert_watertight(masks):
+    """Single cover + no cracks on the shared boundary of two masks."""
+    total = masks.sum(axis=0)
+    # Both wedges are visible and meet inside the viewport.
+    assert masks[0].sum() > 50 and masks[1].sum() > 50
+    assert total.max() <= 1, "double cover along the clipped shared edge"
+
+    # Crack detection: an uncovered pixel whose two neighbors (along
+    # either axis) belong to DIFFERENT triangles is a hole on the
+    # shared boundary.
+    m0, m1 = masks[0], masks[1]
+    hole = ~(m0 | m1)
+    for ax in (0, 1):
+        def sh(m, d):
+            return np.roll(m, d, axis=ax)
+        crack = hole & ((sh(m0, 1) & sh(m1, -1)) | (sh(m1, 1) & sh(m0, -1)))
+        # Exclude image borders where roll wraps.
+        if ax == 0:
+            crack[0, :] = crack[-1, :] = False
+        else:
+            crack[:, 0] = crack[:, -1] = False
+        assert not crack.any(), f"crack along axis {ax} on the shared edge"
+    return total
+
+
+@pytest.mark.parametrize("rot90", [False, True])
+@pytest.mark.parametrize("res", [(96, 96), (63, 101)])
+def test_nearclip_shared_edge_watertight(rot90, res):
+    """Watertightness across the near-clip boundary: adjacent triangles
+    whose shared edge crosses w = eps claim every pixel along the
+    clipped shared boundary exactly once, in BOTH implementations.
+    Holds because the clipper's canonical rotation always evaluates
+    isect(inside_vertex, outside_vertex) in that argument order, so both
+    triangles compute a bitwise-identical intersection point
+    (rasterize._near_clip_subtris), and shared-edge coefficients are
+    exact IEEE negations.
+
+    Cross-impl id buffers may differ by ulp-level coverage flips on the
+    *clip-cut silhouette* (the w = eps cut edge belongs to one triangle
+    only, so a 1-ulp edge-function difference between the two compiled
+    programs legally flips a boundary pixel in/out); such pixels must be
+    rare and lie on the coverage boundary.
+    """
+    pos, tri = _nearclip_scene(rot90)
+
+    for impl in ("xla", "pallas_interpret"):
+        masks = _coverage_per_tri(pos, tri, res, impl=impl)
+        total = _assert_watertight(masks)
+        # Full-mesh render covers exactly the union.
+        r, _ = rasterize(None, pos, tri, res, impl=impl)
+        union = np.asarray(r[0, ..., 3]) > 0
+        np.testing.assert_array_equal(union, total.astype(bool))
+        if impl == "xla":
+            ix = np.asarray(r[0, ..., 3])
+        else:
+            ip = np.asarray(r[0, ..., 3])
+
+    # Cross-impl: identical up to <= 2 silhouette-boundary pixels.
+    diff = ix != ip
+    assert diff.sum() <= 2, f"{diff.sum()} differing pixels"
+    if diff.any():
+        cov = ix > 0
+        edge = np.zeros_like(cov)
+        edge[1:] |= cov[1:] != cov[:-1]
+        edge[:-1] |= cov[:-1] != cov[1:]
+        edge[:, 1:] |= cov[:, 1:] != cov[:, :-1]
+        edge[:, :-1] |= cov[:, :-1] != cov[:, 1:]
+        assert (diff <= edge).all(), "interior pixels differ between impls"
