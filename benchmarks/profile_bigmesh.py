@@ -55,7 +55,10 @@ def main():
             tv = p[:, tri]
             tri_ids = jnp.arange(T, dtype=jnp.int32)
             rec, sub_f, sval_f = rp._build_records(tv[0], tri_ids)
-            aabb = rp._pixel_aabb(sub_f, sval_f, RES, RES, 0, RES)
+            xmin, ymin, xmax, ymax, ok = rp._pixel_aabb(
+                sub_f, sval_f, RES, RES, 0, RES)
+            aabb = (xmin.min(axis=-1), ymin.min(axis=-1),
+                    xmax.max(axis=-1), ymax.max(axis=-1), ok.any(axis=-1))
             nty = -(-RES // rp.TILE_H)
             rec_s, gaabb = rp._sort_records(rec, aabb, nty, 2, 1024)
             return rec_s[0, 0]

@@ -1,0 +1,105 @@
+"""On-chip smoke of the rasterizer's non-remap kernel paths.
+
+The benchmark configs mostly take the scalar-prefetch remap path; this
+exercises the two other branches on real hardware (VERDICT r2 item 6):
+
+  (a) DENSE: tiny mesh, nc == 1 (12-tri cube at 256**2) — the size-1
+      chunk axis whose caabb SMEM block needs 8-row padding;
+  (b) CSR: over-remap-budget mesh (Bc * n_tiles * nc > 16384 entries:
+      1.05M-tri sphere at 2048**2) — per-tile segment lists.
+
+Each config renders on the device Pallas path and checks the id buffer
+against the XLA path (z-fight-tolerant compare, as in
+tests/test_parity_sweep.py). Exits nonzero on mismatch.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvdiffrast_tpu.ops.rasterize import rasterize
+from nvdiffrast_tpu.models import primitives
+from nvdiffrast_tpu.utils import camera
+
+
+def _ids_match_mod_zfights(r_x, r_p, max_frac=2e-4):
+    ix = np.asarray(r_x[..., 3])
+    ip = np.asarray(r_p[..., 3])
+    differ = ix != ip
+    if differ.any():
+        zx = np.asarray(r_x[..., 2])[differ]
+        zp = np.asarray(r_p[..., 2])[differ]
+        np.testing.assert_allclose(zx, zp, atol=1e-4, err_msg=(
+            "ID mismatch at non-tied depth — real coverage divergence"))
+        assert differ.mean() <= max_frac, (
+            f"{differ.sum()} id mismatches — too many even for z-fights")
+    print(f"  ids: {(~differ).sum()}/{differ.size} exact, "
+          f"{differ.sum()} z-fight pixels")
+
+
+def cube_scene():
+    v = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                  for z in (-1, 1)], np.float32) * 0.5
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    mvp = camera.projection(x=0.6) @ camera.translate(0, 0, -2.5) \
+        @ camera.rotate_y(0.5) @ camera.rotate_x(0.3)
+    posw = np.concatenate([v, np.ones_like(v[:, :1])], axis=1)
+    pos = jnp.asarray((posw @ mvp.T)[None].astype(np.float32))
+    return pos, jnp.asarray(f)
+
+
+def sphere_scene(nlat, nlon):
+    pos_idx, vtxp, _, _ = primitives.uv_sphere(nlat, nlon)
+    mvp = camera.projection(x=0.4) @ camera.translate(0, 0, -3.5)
+    posw = np.concatenate([vtxp, np.ones_like(vtxp[:, :1])], axis=1)
+    pos = jnp.asarray((posw @ mvp.T)[None].astype(np.float32))
+    return pos, jnp.asarray(pos_idx)
+
+
+def run(name, pos, tri, res, expect):
+    from nvdiffrast_tpu.ops import rasterize_pallas as rp
+    T = int(tri.shape[0])
+    S = T
+    target = -(-S // 64)
+    chunk = min(rp.CHUNK_CAP,
+                max(rp.MAX_CHUNK, -(-target // 64) * 64),
+                -(-S // (8 * rp.GROUP)) * 8 * rp.GROUP)
+    nc = -(-S // chunk)
+    H, W = res
+    nty = -(-H // rp.TILE_H)
+    wp0 = -(-W // rp.LANE) * rp.LANE
+    ntx = -(-wp0 // rp.MAX_TILE_W)
+    n_tiles = nty * ntx
+    use_remap = n_tiles * nc <= rp._REMAP_MAX_ENTRIES and nc > 1
+    path = "remap" if use_remap else ("csr" if nc > 1 else "dense")
+    print(f"{name}: T={T} res={res} nc={nc} tiles={n_tiles} "
+          f"path={path}")
+    assert path == expect, f"config takes the {path} path, not {expect}"
+
+    r_p, _ = jax.jit(
+        lambda p: rasterize(None, p, tri, res, impl="pallas"))(pos)
+    r_x, _ = jax.jit(
+        lambda p: rasterize(None, p, tri, res, impl="xla"))(pos)
+    _ids_match_mod_zfights(r_x, r_p)
+
+
+def main():
+    print("backend:", jax.default_backend())
+    pos, tri = cube_scene()
+    run("dense nc==1 (cube)", pos, tri, (256, 256), "dense")
+    pos, tri = sphere_scene(512, 1024)
+    run("csr over-remap (1.05M-tri sphere)", pos, tri, (2048, 2048), "csr")
+    print("non-remap-path smoke OK")
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except AssertionError as e:
+        print("FAIL:", e)
+        sys.exit(1)

@@ -266,13 +266,22 @@ def _band_centers(resolution, viewport):
 
 def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
                   peel_depth=None, chunk=_DEFAULT_CHUNK, viewport=None):
-    """Scan subtriangle chunks, carrying the per-pixel (depth, id) minimum.
+    """Scan triangle chunks, carrying the per-pixel (depth, id) minimum.
+
+    Coverage per triangle is the winding-normalized parent edge test
+    plus the affine *near-clip cut test* ``pw >= eps * (a0+a1+a2)``:
+    since a_i = lambda_i * pD / w_hit, positive normalized edge values
+    select exactly the front-side (w_hit > 0) ray hits, and the cut
+    test trims hits with w_hit < eps — equivalent to rasterizing the
+    geometrically clipped triangle (reference clips to subtriangles
+    instead: cudaraster/impl/Util.inl:134-160) with no subtriangle
+    machinery at all.
 
     Args:
       ecoef: [B, S, 3, 3] edge coefficients (or [S, 3, 3] shared).
-      zcoef, wcoef: [B, S, 3] or [S, 3] parent plane coefficients.
-      valid: [B, S] bool subtriangle validity (includes range masks).
-      tri_ids: [S] int32 parent triangle index of each subtriangle.
+      zcoef, wcoef: [B, S, 3] or [S, 3] plane coefficients.
+      valid: [B, S] bool triangle validity (includes range masks).
+      tri_ids: [S] int32 triangle index of each record.
       batch_shape: B.
       resolution: (H, W).
       peel_depth: optional [B, H, W] depth of previous peel layer; a
@@ -366,6 +375,9 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
 
         z = affine(zc_)
         w = affine(wc_)
+        # Near-clip cut test (inclusive on the cut line — a silhouette
+        # edge, no neighbor to hand pixels to).
+        cut_ok = w - _W_CLIP_EPS * (a0 + a1 + a2) >= 0
         # Fragment z-clip (geometric clip in the reference's
         # TriangleSetup; per-fragment here, exact for the z planes).
         # All depth comparisons are cross-multiplied rationals, never
@@ -374,7 +386,7 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
         # in the kernel), so f32 cross-product rounding can pick
         # different winners at (near-)tied depths; the parity sweep
         # tolerates exactly those z-fight pixels.
-        frag_ok = covered & (w > 0) & (jnp.abs(z) <= w)
+        frag_ok = covered & cut_ok & (w > 0) & (jnp.abs(z) <= w)
         frag_ok &= vd[:, :, None, None]
         if peel_depth is not None:
             frag_ok &= z > peel_depth[:, None] * w
@@ -705,51 +717,30 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
         B = ranges.shape[0]
         tv = pos[tri]  # [T, 3, 4]
 
-    sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
-    zc, wc = _plane_coeffs(tv)  # parent plane, [.., T, 3]
-    # Winding normalization (parent): scale plane equations by sign(D)
-    # so interpolated w is positive; degenerate parents are culled.
-    pD = _area_form(_edge_coeffs(tv), tv)  # [.., T]
-    po = jnp.where(pD < 0, -1.0, 1.0)[..., None]
-    zc = zc * po
-    wc = wc * po
-    svalid = svalid & (pD != 0.0)[..., None]
+    # One record per triangle: winding-normalized parent edge and plane
+    # coefficients. The near-clip cut is an affine per-fragment test
+    # inside _coverage_xla — no subtriangles anywhere.
+    ecoef_f = _edge_coeffs(tv)  # [.., T, 3, 3]
+    zc_f, wc_f = _plane_coeffs(tv)  # [.., T, 3]
+    pD = _area_form(ecoef_f, tv)  # [.., T]
+    po = jnp.where(pD < 0, -1.0, 1.0)
+    ecoef_f = ecoef_f * po[..., None, None]
+    zc_f = zc_f * po[..., None]
+    wc_f = wc_f * po[..., None]
+    sval_f = pD != 0.0
 
-    # Flatten the 2 subtriangle slots into the scan axis.
-    def flat2(a, tdim):
-        shape = list(a.shape)
-        shape[tdim:tdim + 2] = [shape[tdim] * 2]
-        return a.reshape(shape)
-
-    tri_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), 2)
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
 
     if instance_mode:
-        sub_f = flat2(sub, 1)  # [B, 2T, 3, 4]
-        zc_f = jnp.repeat(zc, 2, axis=1)
-        wc_f = jnp.repeat(wc, 2, axis=1)
-        sval_f = flat2(svalid, 1)  # [B, 2T]
-        valid_f = sval_f
+        valid_f = sval_f  # [B, T]
     else:
-        sub_f = flat2(sub, 0)  # [2T, 3, 4]
-        zc_f = jnp.repeat(zc, 2, axis=0)
-        wc_f = jnp.repeat(wc, 2, axis=0)
-        sval_f = flat2(svalid, 0)  # [2T]
         # Range mode: triangle t live for image b iff start <= t < start+count.
         start = ranges[:, 0:1]
         count = ranges[:, 1:2]
         t_ar = jnp.arange(T, dtype=jnp.int32)[None, :]
         rmask = (t_ar >= start) & (t_ar < start + count)  # [B, T]
-        valid_f = sval_f[None, :] & jnp.repeat(rmask, 2, axis=1)
+        valid_f = sval_f[None, :] & rmask
 
-    ecoef_f = _edge_coeffs(sub_f)
-    # Winding normalization (subtriangle coverage edges).
-    sD = _area_form(ecoef_f, sub_f)
-    ecoef_f = ecoef_f * jnp.where(sD < 0, -1.0, 1.0)[..., None, None]
-    sdeg_ok = (sD != 0.0)
-    if instance_mode:
-        valid_f = valid_f & sdeg_ok
-    else:
-        valid_f = valid_f & sdeg_ok[None, :]
     idbuf, zbuf = _coverage_xla(
         ecoef_f, zc_f, wc_f, valid_f, tri_ids, B, resolution,
         peel_depth=peel_depth, chunk=chunk, viewport=viewport)

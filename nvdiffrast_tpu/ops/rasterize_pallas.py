@@ -30,14 +30,19 @@ re-designed around the TPU's strengths:
   fragments with depth <= peel (FineRaster.inl:349) — fused into the
   same candidate test.
 
-Record layout per subtriangle (32 f32, lane-padded):
-  [0:9]   subtriangle edge functions, affine (c, d/dfx, d/dfy) x 3
-  [9:12]  parent z plane (affine)
-  [12:15] parent w plane (affine)
+Record layout per triangle (16 f32; GROUP=8 records lane-packed into
+one 128-float row so the stream fills whole vregs):
+  [0:9]   edge functions, affine (c, d/dfx, d/dfy) x 3
+          (winding-normalized parent edges — they double as the
+          barycentric numerators; a_i = lambda_i * pD / w_hit makes
+          all-positive exactly the front-side ray hits)
+  [9:12]  z plane (affine)
+  [12:15] w plane (affine)
   [15]    triangle_id + 1 as float (exact for ids < 2^24), or 1e30
           when the slot is invalid
-  [16:25] parent edge functions, affine x 3 (for barycentrics + db)
-  [25:32] zero padding
+The near-plane clip is the affine in-kernel cut test
+``pw >= eps * (a0+a1+a2)`` — no subtriangles are materialized
+(the clip polygon is computed only to bound screen AABBs).
 
 Range-mode per-image triangle windows are enforced in-kernel from the
 (start, count) scalars, so geometry records are shared across the
@@ -69,6 +74,8 @@ MAX_PALLAS_TRIS = 1 << 24
 _BIG = 1e30
 _ID_INVALID = 1e30
 _ID_VALID_THRESH = 1e29
+# Near-plane guard; must match rasterize._W_CLIP_EPS.
+_CLIP_EPS = 1e-9
 
 
 def _cdiv(a, b):
@@ -135,12 +142,95 @@ def _sort_records(records, aabb, nty, ntx, tile_w):
     return records_s, gaabb
 
 
+def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
+    """Per-tile CSR record segments for big meshes.
+
+    Classifies each record by its screen-AABB tile span into one of
+    ``nty*ntx`` local-tile segments (AABB inside one tile), ``nty``
+    band segments (one rowband, several column tiles), or one global
+    segment (spans rowbands); lays the records out in chunk-aligned
+    contiguous segments so each tile's sweep walks exactly its own +
+    its band's + the global chunks via two scalar-prefetch arrays —
+    the TPU equivalent of CudaRaster's per-tile triangle segment lists
+    (impl/CoarseRaster.inl:388-601) with static shapes and no atomic
+    allocators. Replaces the dense all-chunk sweep beyond the remap
+    budget; removes the 16384-entry cliff.
+
+    Args:
+      records: [S, 16] float32.
+      aabb: (xmin, ymin, xmax, ymax, ok) per record, tile-band-local
+        pixel units.
+      chunk: records per chunk (multiple of GROUP).
+
+    Returns:
+      rec_l: [S_pad, 16] laid-out records (invalid padding slots).
+      gaabb: [S_pad/GROUP, 4] group AABBs in layout order.
+      cstart: [n_seg] int32 segment starts (chunk-block units).
+      ccnt: [n_seg] int32 segment lengths (chunk-block units).
+    """
+    xmin, ymin, xmax, ymax, ok = aabb
+    S = records.shape[0]
+    _IMAX = jnp.iinfo(jnp.int32).max
+
+    def tix(v, n, scale):
+        return jnp.clip(jnp.floor((v + 0.5) / scale).astype(jnp.int32),
+                        0, n - 1)
+
+    band0 = tix(ymin, nty, TILE_H)
+    band1 = tix(ymax, nty, TILE_H)
+    tx0 = tix(xmin, ntx, tile_w)
+    tx1 = tix(xmax, ntx, tile_w)
+    nk0 = nty * ntx
+    n_seg = nk0 + nty + 1  # local tiles, bands, global
+
+    local = (band0 == band1) & (tx0 == tx1)
+    bandonly = (band0 == band1) & ~local
+    key = jnp.where(local, band0 * ntx + tx0,
+                    jnp.where(bandonly, nk0 + band0, nk0 + nty))
+    key = jnp.where(ok, key, _IMAX)
+    order = jnp.argsort(key, stable=True)
+
+    counts = jnp.zeros((n_seg,), jnp.int32).at[
+        jnp.clip(key, 0, n_seg - 1)].add(ok.astype(jnp.int32))
+    ccnt = -(-counts // chunk)  # blocks per segment
+    cstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(ccnt)])  # [n_seg+1], blocks
+    seg0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(counts)])  # sorted-order starts
+
+    S_pad = (_cdiv(S, chunk) + n_seg) * chunk  # static upper bound
+    j = jnp.arange(S_pad, dtype=jnp.int32)
+    k = jnp.searchsorted(cstart * chunk, j, side="right") - 1
+    kc = jnp.clip(k, 0, n_seg - 1)
+    r = j - cstart[kc] * chunk
+    valid_slot = (k < n_seg) & (r < counts[kc])
+    src = order[jnp.clip(seg0[kc] + r, 0, S - 1)]
+
+    safe = jnp.zeros((16,), jnp.float32).at[15].set(_ID_INVALID)
+    rec_l = jnp.where(valid_slot[:, None], records[src], safe[None, :])
+
+    gx0 = jnp.where(valid_slot, xmin[src], _BIG)
+    gy0 = jnp.where(valid_slot, ymin[src], _BIG)
+    gx1 = jnp.where(valid_slot, xmax[src], -_BIG)
+    gy1 = jnp.where(valid_slot, ymax[src], -_BIG)
+    ng = S_pad // GROUP
+
+    def greduce(v, red):
+        return red(v.reshape(ng, GROUP), axis=1)
+
+    gaabb = jnp.stack([
+        greduce(gx0, jnp.min), greduce(gy0, jnp.min),
+        greduce(gx1, jnp.max), greduce(gy1, jnp.max)], axis=-1)
+    return rec_l, gaabb, cstart[:n_seg], ccnt
+
+
 # ---------------------------------------------------------------------------
 # Kernel.
 # ---------------------------------------------------------------------------
 
 def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
-                 use_remap, ntx, bc_many, emit_db=True):
+                 use_remap, ntx, bc_many, emit_db=True, use_csr=False,
+                 nty=0):
     """Build the fused coverage+shade kernel.
 
     Accumulator channel mapping during the chunk sweep (all
@@ -164,14 +254,14 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
     n_xsub = tile_w // LANE
 
     def kernel(*refs):
-        if use_remap:
+        if use_remap or use_csr:
             remap_ref, cnt_ref, ranges_ref, *rest = refs
         else:
             ranges_ref, *rest = refs
         if has_vp:
             y0_ref = rest[0]
             rest = rest[1:]
-        if use_remap:
+        if use_remap or use_csr:
             gaabb_ref, coef_ref, *rest = rest
         else:
             caabb_ref, gaabb_ref, coef_ref, *rest = rest
@@ -225,6 +315,14 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
             # by the scalar-prefetch remap; skip the padded tail.
             bb = pl.program_id(0) if bc_many else 0
             chunk_hit = c < cnt_ref[bb, ty * ntx + tx]
+        elif use_csr:
+            # CSR sweep: this tile's own segment + its band's + the
+            # global segment (cnt_ref holds per-segment block counts).
+            bb = pl.program_id(0) if bc_many else 0
+            nk0 = nty * ntx
+            chunk_hit = c < (cnt_ref[bb, ty * ntx + tx]
+                             + cnt_ref[bb, nk0 + ty]
+                             + cnt_ref[bb, nk0 + nty])
         else:
             chunk_hit = ((caabb_ref[0, c, 1] <= ty1)
                          & (caabb_ref[0, c, 3] >= ty0)
@@ -294,8 +392,9 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
                        & ((a2 > 0) | ((a2 == 0) & tie(6))))
                 pz = aff(9)
                 pw = aff(12)
+                cut = aff(16)  # near-clip line, inclusive (silhouette)
                 idf = s(15)
-                ok = cov & (pw > 0) & (jnp.abs(pz) <= pw)
+                ok = cov & (cut >= 0) & (pw > 0) & (jnp.abs(pz) <= pw)
                 ok &= ((idf < _ID_VALID_THRESH) & (idf >= start_f)
                        & (idf < end_f))
                 if has_peel:
@@ -309,23 +408,21 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
                 rhs = az * pwc
                 better = (lhs < rhs) | ((lhs == rhs) & (idc < aid))
 
-                pa0 = aff(16)
-                pa1 = aff(19)
-                pa2 = aff(22)
-
+                # Parent barycentric numerators ARE the coverage edge
+                # values (single-record scheme — no separate evals).
                 az = jnp.where(better, pzc, az)
                 aw = jnp.where(better, pwc, aw)
                 aid = jnp.where(better, idc, aid)
-                a_pa0 = jnp.where(better, pa0, a_pa0)
-                a_pa1 = jnp.where(better, pa1, a_pa1)
-                a_pa2 = jnp.where(better, pa2, a_pa2)
+                a_pa0 = jnp.where(better, a0, a_pa0)
+                a_pa1 = jnp.where(better, a1, a_pa1)
+                a_pa2 = jnp.where(better, a2, a_pa2)
                 if emit_db:
-                    a_cx0 = jnp.where(better, s(17), a_cx0)
-                    a_cy0 = jnp.where(better, s(18), a_cy0)
-                    a_cx1 = jnp.where(better, s(20), a_cx1)
-                    a_cy1 = jnp.where(better, s(21), a_cy1)
-                    a_cx2 = jnp.where(better, s(23), a_cx2)
-                    a_cy2 = jnp.where(better, s(24), a_cy2)
+                    a_cx0 = jnp.where(better, s(1), a_cx0)
+                    a_cy0 = jnp.where(better, s(2), a_cy0)
+                    a_cx1 = jnp.where(better, s(4), a_cx1)
+                    a_cy1 = jnp.where(better, s(5), a_cy1)
+                    a_cx2 = jnp.where(better, s(7), a_cx2)
+                    a_cy2 = jnp.where(better, s(8), a_cy2)
 
             zbuf_ref[0, dsy, dsx] = az
             idf_ref[0, dsy, dsx] = aid
@@ -354,10 +451,21 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
                 @pl.when((gy0 <= ty1) & (gy1 >= ty0)
                          & (gx0 <= tx1) & (gx1 >= tx0))
                 def _():
-                    # Hoist the 25x8 record scalars once per group.
-                    cf = coef_ref[0, pl.ds(g * GROUP, GROUP), :]  # [8, 32]
-                    sc = [[cf[k, i] for i in range(25)]
-                          for k in range(GROUP)]
+                    # Hoist the 16x8 record scalars once per group
+                    # (one lane-packed 128-float row per group), and
+                    # derive each record's near-clip cut line
+                    # pw - eps*(a0+a1+a2) as affine coeffs [16:19].
+                    cf = coef_ref[0, pl.ds(g, 1), :]  # [1, 128]
+                    sc = []
+                    for k in range(GROUP):
+                        sk = [cf[0, k * 16 + i] for i in range(16)]
+                        sk.append(sk[12] - _CLIP_EPS * (sk[0] + sk[3]
+                                                       + sk[6]))
+                        sk.append(sk[13] - _CLIP_EPS * (sk[1] + sk[4]
+                                                       + sk[7]))
+                        sk.append(sk[14] - _CLIP_EPS * (sk[2] + sk[5]
+                                                       + sk[8]))
+                        sc.append(sk)
                     sx_lo = jnp.maximum(
                         jnp.floor((gx0 - tx0) * inv128).astype(jnp.int32), 0)
                     sx_hi = jnp.minimum(
@@ -464,54 +572,46 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
 # ---------------------------------------------------------------------------
 
 def _build_records(tv, tri_ids):
-    """Per-subtriangle record tensor [.., 2T, 32] (see module docstring)."""
+    """Per-triangle record tensor [.., T, 16] (see module docstring).
+
+    One record per triangle — the near-clip subtriangle split is gone:
+    winding-normalized parent edge functions are positive exactly on
+    front-side (w_hit > 0) ray hits (a_i = lambda_i * pD / w_hit), and
+    the kernel's affine cut test ``pw >= eps * (a0+a1+a2)`` trims hits
+    in front of the near plane — together exactly the coverage of the
+    geometrically clipped triangle (reference: impl/Util.inl:134-160).
+    The subtriangle *vertices* are still computed, but only to bound
+    the visible screen extent (AABBs for binning).
+    """
     from .rasterize import (_near_clip_subtris, _edge_coeffs, _plane_coeffs,
                             _area_form)
 
-    sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
-    zc, wc = _plane_coeffs(tv)  # [.., T, 3]
     pe = _edge_coeffs(tv)  # [.., T, 3, 3]
-    # Winding normalization (see rasterize._area_form): parent planes
-    # and edges scaled so interpolated w > 0; degenerate parents culled.
+    zc, wc = _plane_coeffs(tv)  # [.., T, 3]
+    # Winding normalization (see rasterize._area_form): planes and
+    # edges scaled so edge interiors / interpolated w are positive;
+    # degenerate parents culled.
     pD = _area_form(pe, tv)  # [.., T]
     po = jnp.where(pD < 0, -1.0, 1.0)
     zc = zc * po[..., None]
     wc = wc * po[..., None]
     pe = pe * po[..., None, None]
-    svalid = svalid & (pD != 0.0)[..., None]
+
+    # AABB-only clip (no records from it).
+    sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
+    valid = (pD != 0.0) & svalid.any(axis=-1)
 
     lead = tv.shape[:-3]
     T = tv.shape[-3]
-    S = 2 * T
-
-    sub_f = sub.reshape(lead + (S, 3, 4))
-    sval_f = svalid.reshape(lead + (S,))
-    se = _edge_coeffs(sub_f)  # [.., S, 3, 3]
-    sD = _area_form(se, sub_f)
-    se = se * jnp.where(sD < 0, -1.0, 1.0)[..., None, None]
-    sval_f = sval_f & (sD != 0.0)
-
-    def rep2(a):
-        return jnp.repeat(a, 2, axis=len(lead))
-
-    zc2 = rep2(zc)
-    wc2 = rep2(wc)
-    pe2 = rep2(pe)
-    idf = jnp.broadcast_to(
-        jnp.repeat(tri_ids.astype(jnp.float32) + 1.0, 2), lead + (S,))
-    idf = jnp.where(sval_f, idf, _ID_INVALID)
+    idf = jnp.broadcast_to(tri_ids.astype(jnp.float32) + 1.0, lead + (T,))
+    idf = jnp.where(valid, idf, _ID_INVALID)
 
     rec = jnp.concatenate([
-        se.reshape(lead + (S, 9)),
-        zc2, wc2,
-        idf[..., None],
-        pe2.reshape(lead + (S, 9)),
-        jnp.zeros(lead + (S, 7), jnp.float32),
-    ], axis=-1)
+        pe.reshape(lead + (T, 9)), zc, wc, idf[..., None]], axis=-1)
     # Zero the geometry of invalid slots (keep idf = INVALID).
-    safe = jnp.zeros((32,), jnp.float32).at[15].set(_ID_INVALID)
-    rec = jnp.where(sval_f[..., None], rec, safe)
-    return rec, sub_f, sval_f
+    safe = jnp.zeros((16,), jnp.float32).at[15].set(_ID_INVALID)
+    rec = jnp.where(valid[..., None], rec, safe)
+    return rec, sub, svalid & valid[..., None]
 
 
 def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
@@ -567,11 +667,12 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
         tv = pos[tri]  # [T, 3, 4]
     rec, sub_f, sval_f = _build_records(tv, tri_ids)
 
-    S = 2 * T
-    # chunk must keep gpc = chunk/GROUP a multiple of 8 (SMEM tiling).
-    # Adaptive size: target <= ~64 chunk steps per tile sweep so the
-    # grid overhead stays flat as meshes grow; cap at 2048 records
-    # (1 MB coefficient block) to keep double-buffering in VMEM.
+    S = T
+    # chunk must keep gpc = chunk/GROUP a multiple of 8 (SMEM tiling)
+    # and chunk a multiple of 8 (lane packing). Adaptive size: target
+    # <= ~64 chunk steps per tile sweep so the grid overhead stays
+    # flat as meshes grow; cap at CHUNK_CAP records to keep
+    # double-buffering in VMEM.
     target = _cdiv(S, 64)
     chunk = min(CHUNK_CAP, max(MAX_CHUNK, _cdiv(target, 64) * 64),
                 _cdiv(S, 8 * GROUP) * 8 * GROUP)
@@ -579,39 +680,74 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     nc = Sp // chunk
     gpc = chunk // GROUP
 
-    def pad_s(a, axis):
-        if Sp == S:
-            return a
-        cfg = [(0, 0)] * a.ndim
-        cfg[axis] = (0, Sp - S)
-        a = jnp.pad(a, cfg)
-        return a
+    nty_ = nty
+    n_tiles = nty * ntx
+    Bc_geom = tv.shape[0] if instance_mode else 1
+    use_remap = Bc_geom * n_tiles * nc <= _REMAP_MAX_ENTRIES and nc > 1
+    use_csr = (not use_remap) and nc > 1
 
-    s_axis = 1 if instance_mode else 0
-    rec = pad_s(rec, s_axis)
-    if Sp != S:
-        # Padded slots: invalid id.
-        rec = rec.at[..., S:, 15].set(_ID_INVALID)
-    sub_p = pad_s(sub_f, s_axis)
-    sval_p = pad_s(sval_f, s_axis)
+    def aabb_union(sub_i, sval_i):
+        # sub_i: [S, 2, 3, 4] clip polygons (AABB only) — union the
+        # two slots' screen boxes per triangle.
+        xmin, ymin, xmax, ymax, ok = _pixel_aabb(sub_i, sval_i, H, W, y0, Hf)
+        return (xmin.min(axis=-1), ymin.min(axis=-1),
+                xmax.max(axis=-1), ymax.max(axis=-1), ok.any(axis=-1))
 
-    def bin_one(rec_i, sub_i, sval_i):
-        aabb = _pixel_aabb(sub_i, sval_i, H, W, y0, Hf)
-        return _sort_records(rec_i, aabb, nty, ntx, tile_w)
+    cstart = ccnt = caabb = None
+    if use_csr:
+        # Big meshes: chunk-aligned per-tile/band/global CSR segments.
+        def csr_one(rec_i, sub_i, sval_i):
+            return _csr_layout(rec_i, aabb_union(sub_i, sval_i),
+                               nty, ntx, tile_w, chunk)
 
-    if instance_mode:
-        rec_s, gaabb = jax.vmap(bin_one)(rec, sub_p, sval_p)
+        if instance_mode:
+            rec_s, gaabb, cstart, ccnt = jax.vmap(csr_one)(
+                rec, sub_f, sval_f)
+        else:
+            rec_s, gaabb, cstart, ccnt = csr_one(rec, sub_f, sval_f)
+            rec_s, gaabb = rec_s[None], gaabb[None]
+            cstart, ccnt = cstart[None], ccnt[None]
+        S_lay = rec_s.shape[1]
+        nc = S_lay // chunk
     else:
-        rec_s, gaabb = bin_one(rec, sub_p, sval_p)
-        rec_s = rec_s[None]
-        gaabb = gaabb[None]
+        def pad_s(a, axis):
+            if Sp == S:
+                return a
+            cfg = [(0, 0)] * a.ndim
+            cfg[axis] = (0, Sp - S)
+            a = jnp.pad(a, cfg)
+            return a
 
-    # Per-chunk AABB from group AABBs.
-    ng = Sp // GROUP
-    ga4 = gaabb.reshape(-1, nc, gpc, 4)
-    caabb = jnp.stack([
-        ga4[..., 0].min(axis=-1), ga4[..., 1].min(axis=-1),
-        ga4[..., 2].max(axis=-1), ga4[..., 3].max(axis=-1)], axis=-1)
+        s_axis = 1 if instance_mode else 0
+        rec = pad_s(rec, s_axis)
+        if Sp != S:
+            # Padded slots: invalid id.
+            rec = rec.at[..., S:, 15].set(_ID_INVALID)
+        sub_p = pad_s(sub_f, s_axis)
+        sval_p = pad_s(sval_f, s_axis)
+
+        def bin_one(rec_i, sub_i, sval_i):
+            return _sort_records(rec_i, aabb_union(sub_i, sval_i),
+                                 nty, ntx, tile_w)
+
+        if instance_mode:
+            rec_s, gaabb = jax.vmap(bin_one)(rec, sub_p, sval_p)
+        else:
+            rec_s, gaabb = bin_one(rec, sub_p, sval_p)
+            rec_s = rec_s[None]
+            gaabb = gaabb[None]
+        S_lay = Sp
+    # Lane-pack GROUP=8 records of 16 floats into 128-lane rows: the
+    # coefficient stream occupies full vregs in VMEM/HBM instead of a
+    # 16-of-128-lane padded layout (8x less DMA traffic).
+    rec_s = rec_s.reshape(rec_s.shape[0], S_lay // GROUP, GROUP * 16)
+
+    if not use_csr:
+        # Per-chunk AABB from group AABBs (remap/dense paths).
+        ga4 = gaabb.reshape(-1, nc, gpc, 4)
+        caabb = jnp.stack([
+            ga4[..., 0].min(axis=-1), ga4[..., 1].min(axis=-1),
+            ga4[..., 2].max(axis=-1), ga4[..., 3].max(axis=-1)], axis=-1)
 
     Bc = rec_s.shape[0]
     # [B, 8, 2]: row-replicated so the SMEM block avoids size-1 dims.
@@ -626,9 +762,8 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     # Scalar-prefetch chunk remap: enqueue only the chunks whose AABB
     # overlaps each tile, so the auto-pipelined chunk DMA never fetches
     # dead work (the index map repeats the previous block for padded
-    # steps, which skips the copy). Gated by SMEM capacity.
-    n_tiles = nty * ntx
-    use_remap = Bc * n_tiles * nc <= _REMAP_MAX_ENTRIES and nc > 1
+    # steps, which skips the copy). Gated by SMEM capacity; beyond the
+    # budget the CSR segment layout takes over (use_csr above).
     if use_remap:
         ty0g = (jnp.arange(nty, dtype=jnp.float32) * TILE_H)[:, None]
         tx0g = (jnp.arange(ntx, dtype=jnp.float32) * tile_w)[None, :]
@@ -645,12 +780,50 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
         remap = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
 
     kernel = _make_kernel(xs_, xo_, ys_, yo_, has_vp, nc, gpc, tile_w,
-                          has_peel, use_remap, ntx, Bc > 1, emit_db=emit_db)
+                          has_peel, use_remap, ntx, Bc > 1, emit_db=emit_db,
+                          use_csr=use_csr, nty=nty_)
 
     def _b(b):
         return b if Bc > 1 else 0
 
-    if use_remap:
+    if use_csr:
+        nk0 = n_tiles
+
+        def chunk_of(b, ty, tx, c, cs_ref, cn_ref):
+            t = ty * ntx + tx
+            n0 = cn_ref[_b(b), t]
+            n1 = cn_ref[_b(b), nk0 + ty]
+            total = n0 + n1 + cn_ref[_b(b), nk0 + nty_]
+            cc = jnp.minimum(c, jnp.maximum(total - 1, 0))
+            return jnp.where(
+                cc < n0, cs_ref[_b(b), t] + cc,
+                jnp.where(cc < n0 + n1,
+                          cs_ref[_b(b), nk0 + ty] + (cc - n0),
+                          cs_ref[_b(b), nk0 + nty_] + (cc - n0 - n1)))
+
+        in_specs = [
+            pl.BlockSpec((1, 8, 2),
+                         lambda b, ty, tx, c, s_, n_: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        if has_vp:
+            in_specs.append(pl.BlockSpec(
+                (1, 8), lambda b, ty, tx, c, s_, n_: (0, 0),
+                memory_space=pltpu.SMEM))
+        in_specs += [
+            pl.BlockSpec((1, gpc, 4),
+                         lambda b, ty, tx, c, s_, n_: (
+                             _b(b), chunk_of(b, ty, tx, c, s_, n_), 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, gpc, 128),
+                         lambda b, ty, tx, c, s_, n_: (
+                             _b(b), chunk_of(b, ty, tx, c, s_, n_), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = [ranges] + ([y0_in] if has_vp else []) + [gaabb, rec_s]
+        peel_im = lambda b, ty, tx, c, s_, n_: (b, ty, tx)
+        out_im = lambda b, ty, tx, c, s_, n_: (b, ty, tx)
+    elif use_remap:
         def chunk_of(b, ty, tx, c, remap_ref, cnt_ref):
             t = ty * ntx + tx
             cc = jnp.minimum(c, jnp.maximum(cnt_ref[_b(b), t] - 1, 0))
@@ -670,7 +843,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                          lambda b, ty, tx, c, r_, n_: (
                              _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, chunk, 32),
+            pl.BlockSpec((1, gpc, 128),
                          lambda b, ty, tx, c, r_, n_: (
                              _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
                          memory_space=pltpu.VMEM),
@@ -687,14 +860,22 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
             in_specs.append(pl.BlockSpec(
                 (1, 8), lambda b, ty, tx, c: (0, 0),
                 memory_space=pltpu.SMEM))
+        # Pad the chunk axis to a multiple of 8: SMEM blocks with a
+        # size-1 (or non-multiple-of-8) middle dim mis-tile on some
+        # Mosaic versions (same treatment as `ranges` above). The
+        # kernel only indexes rows c < nc.
+        ncp = _cdiv(nc, 8) * 8
+        if ncp != nc:
+            caabb = jnp.pad(caabb, ((0, 0), (0, ncp - nc), (0, 0)),
+                            constant_values=_BIG)
         in_specs += [
-            pl.BlockSpec((1, nc, 4),
+            pl.BlockSpec((1, ncp, 4),
                          lambda b, ty, tx, c: (_b(b), 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, gpc, 4),
                          lambda b, ty, tx, c: (_b(b), c, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, chunk, 32),
+            pl.BlockSpec((1, gpc, 128),
                          lambda b, ty, tx, c: (_b(b), c, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -720,7 +901,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     grid = (B, nty, ntx, nc)
     scratch = [pltpu.VMEM((TILE_H, tile_w), jnp.float32)] * (
         3 if emit_db else 1)
-    if use_remap:
+    if use_remap or use_csr:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -728,12 +909,13 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
             out_specs=[out_spec] * n_out,
             scratch_shapes=scratch,
         )
+        sp_args = (cstart, ccnt) if use_csr else (remap, counts)
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(remap, counts, *inputs)
+        )(*sp_args, *inputs)
     else:
         outs = pl.pallas_call(
             kernel,
