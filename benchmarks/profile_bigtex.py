@@ -1,0 +1,77 @@
+"""Large-texture sampler profile on real TPU (VERDICT r2 item 2).
+
+The reference serves 2^16-px textures at full speed through hardware
+texture units (csrc/common/texture.h:24); its earth sample uses a
+2048x1536 atlas (samples/torch/earth.py:73). Here the fused Pallas
+sampler streams big pyramid levels from HBM through windowed DMA
+(_gather_big); this measures it against the XLA gather path at
+reference scale, fwd and fwd+bwd, at a 2048^2 render.
+
+Usage: PYTHONPATH=.:~/.axon_site python benchmarks/profile_bigtex.py
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvdiffrast_tpu.ops.texture import texture
+
+
+def timeit(fn, args_list, iters=6):
+    fn(*args_list[0])[0].block_until_ready()
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(iters):
+        outs.append(fn(*args_list[i % len(args_list)]))
+    for o in outs:
+        o[0].block_until_ready()
+    # Force a device->host read so axon actually syncs.
+    float(jnp.sum(outs[-1][0]))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    print("backend:", jax.default_backend())
+    RES = 2048
+    rng = np.random.RandomState(0)
+
+    # Smooth uv field over the image (sphere-like parameterization).
+    yy, xx = np.meshgrid(np.linspace(0, 1, RES), np.linspace(0, 1, RES),
+                         indexing="ij")
+    uv = np.stack([xx + 0.05 * np.sin(4 * yy), yy], -1)[None]
+    uv = jnp.asarray(uv.astype(np.float32))
+    uv_da = jnp.asarray(
+        rng.uniform(1e-4, 1e-3, (1, RES, RES, 4)).astype(np.float32))
+
+    for th, tw in ((1024, 1024), (1536, 2048)):
+        tex = jnp.asarray(rng.rand(1, th, tw, 3).astype(np.float32))
+
+        for impl in ("pallas", "xla"):
+            def fwd(t, u):
+                return (texture(t, u, uv_da=uv_da,
+                                filter_mode="linear-mipmap-linear",
+                                boundary_mode="wrap", impl=impl),)
+
+            def fb(t, u):
+                def loss(t_, u_):
+                    return jnp.sum(fwd(t_, u_)[0] ** 2)
+                return jax.grad(loss, argnums=(0, 1))(t, u)
+
+            us = [uv * jnp.float32(1.0 + i * 1e-6) for i in range(3)]
+            try:
+                dt_f = timeit(jax.jit(fwd), [(tex, u) for u in us])
+                dt_b = timeit(jax.jit(fb), [(tex, u) for u in us])
+                print(f"{th}x{tw} {impl:6s}: fwd {dt_f * 1e3:8.2f} ms   "
+                      f"fwd+bwd {dt_b * 1e3:8.2f} ms")
+            except Exception as e:  # noqa: BLE001 — report and move on
+                print(f"{th}x{tw} {impl:6s}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}")
+
+    print("done")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,8 +5,10 @@ buffers with coalesced float atomics (csrc/common/common.h:198-260) —
 fast on GPU but nondeterministic. The TPU-native equivalent maps the
 reduction onto the MXU: a chunked one-hot matmul accumulates in
 float32 with exact 0/1 weights, is bit-deterministic, and beats XLA's
-scatter lowering ~2x at the benchmark scale. Large tables fall back to
-XLA scatter-add (also deterministic on TPU, just slower).
+scatter lowering ~2x at the benchmark scale. Tables past the VMEM
+accumulator budget run row-blocked (grid over output blocks with a
+chunk remap); only incoherent-id + huge-table combinations fall back
+to XLA scatter-add (also deterministic on TPU, just slower).
 
 Layout rule: per-pixel values travel CHANNEL-MAJOR ([K, N], pixel axis
 minormost). A [N, K] array with K < 128 is lane-padded to 128 in both
@@ -23,9 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 # lowering wins despite its overhead.
 _ONEHOT_MAX_ROWS = 16384
 # The Pallas kernel sweeps only the per-chunk id window, so its compute
-# is O(N * window) and the cap is set by the VMEM accumulator, which
-# holds K * R floats regardless of the fold factor (8 MB budget).
-_PALLAS_MAX_ACC = 1 << 21
+# is O(N * window) and the VMEM accumulator (the resident output block)
+# holds at most this many floats (10.5 MB budget). Tables past the
+# budget are split into row blocks: grid (block, chunk) with a
+# scalar-prefetch remap so each block's sweep visits only the chunks
+# whose id window overlaps it (spatially coherent gradient streams
+# touch ~1 block per chunk).
+_PALLAS_MAX_ACC = 5 << 19
+# SMEM budget for the per-(block, chunk) remap table of the row-blocked
+# path (int32 entries).
+_SCAT_REMAP_MAX = 1 << 15
 _CHUNK = 1 << 15
 _P_CHUNK = 8192  # pixels per grid step (amortizes per-step DMA/grid
                  # cost; 16384 overflows scoped VMEM via the F-expanded
@@ -48,10 +57,12 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
     The XLA one-hot path materializes the [N, R/F] one-hot matrix in
     HBM (~N*R/F*4 bytes of traffic — gigabytes at 4M pixels); here each
     grid step builds its one-hot tile in registers, feeds the MXU
-    directly, and accumulates the [F*K, QR] table in VMEM scratch.
-    Values are split hi/lo into two bfloat16 matmuls (one-hot entries
-    are exact in bf16), keeping ~2^-16 relative accuracy with f32
-    accumulation while running the MXU at bf16 rate.
+    directly, and accumulates the [F*K, QR] table in the VMEM-resident
+    output block. Values are split hi/lo into bfloat16 factors
+    (one-hot entries are exact in bf16), keeping ~2^-16 relative
+    accuracy with f32 accumulation while running the MXU at bf16 rate;
+    when 2*F*K <= 128 both factors ride ONE matmul (stacked output
+    rows — same contraction sweep, half the MXU passes).
 
     Large tables: each chunk sweeps only the _QW-lane windows its ids
     actually touch (ids from rasterized pixels are spatially coherent,
@@ -63,7 +74,6 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
     Rf = _cdiv(num_rows, F) * F
     QR = max(_cdiv(Rf // F, _QW) * _QW, _QW)  # window-pad the row axis
     FK = F * K
-    n_win = QR // _QW
 
     n_chunks = _cdiv(N, _P_CHUNK)
     Np = n_chunks * _P_CHUNK
@@ -74,16 +84,38 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
     # sweep masks them out of the min/max range entirely.
     ids = jnp.where((ids >= 0) & (ids < num_rows), ids, Rf + F)
 
-    def kernel(ids_ref, vals_ref, out_ref, acc_ref):
-        c = pl.program_id(0)
+    # Row blocks: the VMEM-resident output block holds FK * QRB floats.
+    QRB = min(QR, max(_PALLAS_MAX_ACC // FK // _QW, 1) * _QW)
+    NB = _cdiv(QR, QRB)
+    n_win = QRB // _QW
 
-        @pl.when(c == 0)
-        def _():
-            acc_ref[...] = jnp.zeros((FK, QR), jnp.float32)
+    remap = counts = None
+    if NB > 1:
+        # Per-chunk folded-row window from live lanes (zero-value lanes
+        # carry placeholder ids and must not widen the window), then a
+        # per-block hit list so block b's sweep only visits overlapping
+        # chunks (same scalar-prefetch remap trick as the rasterizer).
+        big = jnp.int32(1 << 30)
+        qv = ids // F
+        live = jnp.any(vals_t != 0.0, axis=0) & (qv < QR)
+        qc = jnp.where(live, qv, big).reshape(n_chunks, _P_CHUNK)
+        qmin = qc.min(axis=-1)
+        qmax = jnp.where(live, qv, -1).reshape(n_chunks, _P_CHUNK).max(-1)
+        b_lo = jnp.arange(NB, dtype=jnp.int32)[:, None] * QRB
+        hit = (qmin[None, :] <= b_lo + (QRB - 1)) & (qmax[None, :] >= b_lo)
+        counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)  # [NB]
+        remap = jnp.argsort(~hit, axis=-1, stable=True).astype(jnp.int32)
 
+    # Stack the hi/lo bf16 factors along the value-row axis when the
+    # stacked block still fits one MXU output tile: one matmul with
+    # 2*FK output rows costs the same contraction sweep as one, halving
+    # the MXU work vs two sequential matmuls.
+    stack_hilo = 2 * FK <= 128
+
+    def body(ids_ref, vals_ref, out_ref, q0):
         idc = ids_ref[0]  # [P_CHUNK] (pixels on lanes)
-        q = idc // F
-        s = idc - q * F
+        q = idc // F - q0  # block-local folded row
+        s = idc - (idc // F) * F
         vc = vals_ref[0]  # [K, P_CHUNK]
 
         # Gradient streams are often sparse (antialias touches only
@@ -93,9 +125,10 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
         # All-zero LANES are excluded from the window range: inactive
         # pixels carry a placeholder id (row 0), which would otherwise
         # drag every chunk's sweep down to window 0 and force a
-        # one-hot + matmul for pure-zero columns.
-        lane_live = jnp.any(vc != 0.0, axis=0)
-        q = jnp.where(lane_live, q, QR + 1)
+        # one-hot + matmul for pure-zero columns. Rows of other blocks
+        # are masked the same way.
+        lane_live = jnp.any(vc != 0.0, axis=0) & (q >= 0) & (q < QRB)
+        q = jnp.where(lane_live, q, QRB + 1)
 
         # vals_exp[f*K + k, p] = vals[k, p] * (s_p == f)
         if F == 1:
@@ -108,9 +141,11 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
             ve = jnp.concatenate(rows, axis=0)  # [FK, P_CHUNK]
         ve_hi = ve.astype(jnp.bfloat16)
         ve_lo = (ve - ve_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if stack_hilo:
+            ve_hi = jnp.concatenate([ve_hi, ve_lo], axis=0)  # [2FK, P]
 
         dn = (((1,), (1,)), ((), ()))
-        valid = q < QR
+        valid = q < QRB
         big = jnp.int32(1 << 30)
         w_lo = jnp.min(jnp.where(valid, q, big)) // _QW
         w_hi = jnp.max(jnp.where(valid, q, -1)) // _QW
@@ -129,12 +164,20 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
                 # ohT[r, p] = (q_p == w*_QW + r).
                 rr = jax.lax.broadcasted_iota(jnp.int32, (_QW, _P_CHUNK), 0)
                 oht = (rr == (q - w * _QW)[None, :]).astype(jnp.bfloat16)
-                upd = jax.lax.dot_general(ve_hi, oht, dimension_numbers=dn,
-                                          preferred_element_type=jnp.float32)
-                upd += jax.lax.dot_general(ve_lo, oht, dimension_numbers=dn,
-                                           preferred_element_type=jnp.float32)
+                if stack_hilo:
+                    both = jax.lax.dot_general(
+                        ve_hi, oht, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    upd = both[:FK] + both[FK:]
+                else:
+                    upd = jax.lax.dot_general(
+                        ve_hi, oht, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    upd += jax.lax.dot_general(
+                        ve_lo, oht, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
                 dsw = pl.ds(pl.multiple_of(w * _QW, _QW), _QW)
-                acc_ref[:, dsw] += upd
+                out_ref[:, dsw] += upd
             return carry
 
         if n_win == 1:
@@ -142,25 +185,69 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
         else:
             jax.lax.fori_loop(w_lo, w_hi + 1, wbody, 0)
 
-        @pl.when(c == pl.num_programs(0) - 1)
-        def _():
-            out_ref[...] = acc_ref[...]
+    ids2 = ids.reshape(1, Np)
+    vals3 = vals_t.reshape(1, K, Np)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, _P_CHUNK), lambda c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, _P_CHUNK), lambda c: (0, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((FK, QR), lambda c: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((FK, QR), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((FK, QR), jnp.float32)],
-        interpret=interpret,
-    )(ids.reshape(1, Np), vals_t.reshape(1, K, Np))
+    if NB == 1:
+        def kernel(ids_ref, vals_ref, out_ref):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                out_ref[...] = jnp.zeros((FK, QRB), jnp.float32)
+
+            body(ids_ref, vals_ref, out_ref, 0)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, _P_CHUNK), lambda c: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, _P_CHUNK), lambda c: (0, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((FK, QRB), lambda c: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((FK, QRB), jnp.float32),
+            interpret=interpret,
+        )(ids2, vals3)
+    else:
+        def chunk_of(b, c, remap_ref, cnt_ref):
+            cc = jnp.minimum(c, jnp.maximum(cnt_ref[b] - 1, 0))
+            return remap_ref[b, cc]
+
+        def kernel(remap_ref, cnt_ref, ids_ref, vals_ref, out_ref):
+            b = pl.program_id(0)
+            c = pl.program_id(1)
+
+            @pl.when(c == 0)
+            def _():
+                out_ref[...] = jnp.zeros((FK, QRB), jnp.float32)
+
+            @pl.when(c < cnt_ref[b])
+            def _():
+                body(ids_ref, vals_ref, out_ref, b * QRB)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(NB, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, _P_CHUNK),
+                             lambda b, c, r_, n_: (0, chunk_of(b, c, r_, n_)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, _P_CHUNK),
+                             lambda b, c, r_, n_: (0, 0,
+                                                   chunk_of(b, c, r_, n_)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((FK, QRB), lambda b, c, r_, n_: (0, b),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((FK, NB * QRB), jnp.float32),
+            interpret=interpret,
+        )(remap, counts, ids2, vals3)
 
     # out[f*K + k, q] -> result[q*F + f, k].
     out = out[:, :Rf // F]  # [FK, R/F]
@@ -183,10 +270,25 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
       [R, K] float32.
     """
     K, N = vals_t.shape
+
+    # The kernel is VPU-bound (one-hot build + F-expanded value
+    # block), not MXU-bound, so row folding only pays when K is
+    # tiny; wide value blocks run unfolded.
+    F = 1
+    while K < 8 and (F * 2 * K <= 128) and (F < 8):
+        F *= 2
+
+    def pallas_ok():
+        FK = F * K
+        QR = max(_cdiv(_cdiv(num_rows, F), _QW) * _QW, _QW)
+        QRB = min(QR, max(_PALLAS_MAX_ACC // FK // _QW, 1) * _QW)
+        NB = _cdiv(QR, QRB)
+        return NB == 1 or NB * _cdiv(N, _P_CHUNK) <= _SCAT_REMAP_MAX
+
     if method == "auto":
         if (jax.default_backend() == "tpu"
-                and num_rows * K <= _PALLAS_MAX_ACC
-                and N >= 4 * _CHUNK):
+                and N >= 4 * _CHUNK
+                and pallas_ok()):
             method = "pallas"
         elif num_rows <= _ONEHOT_MAX_ROWS and N >= 4 * _CHUNK:
             method = "onehot"
@@ -194,12 +296,6 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
             method = "scatter"
 
     if method in ("pallas", "pallas_interpret"):
-        # The kernel is VPU-bound (one-hot build + F-expanded value
-        # block), not MXU-bound, so row folding only pays when K is
-        # tiny; wide value blocks run unfolded.
-        F = 1
-        while K < 8 and (F * 2 * K <= 128) and (F < 8):
-            F *= 2
         return _scatter_pallas(ids, vals_t, num_rows, F,
                                interpret=(method == "pallas_interpret"))
 

@@ -706,7 +706,8 @@ def _texture_impl(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
                   or (impl == "auto" and jax.default_backend() == "tpu"))
     if (want_fused and filter_mode != "nearest"
             and tp.supported(C, n_texels, N, cube_mode, boundary_mode,
-                             force=(impl != "auto"))):
+                             force=(impl != "auto"),
+                             meta=smeta, L=len(levels))):
         fl = flevel if flevel is not None else jnp.zeros((N,), jnp.float32)
         if cube_mode:
             finfo = _cube_faceid(uv[:, 0], uv[:, 1], uv[:, 2])

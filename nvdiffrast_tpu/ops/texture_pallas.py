@@ -40,6 +40,14 @@ TILE_H = 64  # image-tile rows per kernel block (x128 columns)
 _MAX_VMEM_TABLE = 1 << 21  # pyramid floats kept in VMEM (8 MB f32)
 _MAX_CHANNELS = 8
 _MIN_N = 1 << 16  # below this XLA gather overhead is acceptable
+# Large-texture window: pyramid levels that don't fit the VMEM table
+# stay in HBM laid out [C, B*h, w/128, 128]; per (row-window,
+# col-window) touched by a pixel block the kernel DMAs a
+# _WIN_ROWS x (_WIN_CHUNKS*128) texel window into VMEM scratch and
+# gathers locally. uvs are image-tile coherent, so a 64x128 pixel
+# block touches a handful of windows per level.
+_WIN_ROWS = 8
+_WIN_CHUNKS = 2
 
 
 def _cdiv(a, b):
@@ -80,17 +88,28 @@ def _tile_unorder(x, B, H, W):
     return img.reshape(lead + (B * H * W,))
 
 
-def supported(C, n_texels, N, cube_mode, boundary_mode, force=False):
+def supported(C, n_texels, N, cube_mode, boundary_mode, force=False,
+              meta=None, L=0):
     """Can the fused path serve this config? `force` skips the
-    profitability heuristic (explicit impl= request)."""
+    profitability heuristic (explicit impl= request). 2D pyramids past
+    the VMEM table budget are still served when every overflowing
+    level is eligible for HBM window gathering (pass meta/L)."""
     if cube_mode:
         return (C <= _MAX_CHANNELS
                 and (force or N >= _MIN_N)
                 and C * _cdiv(n_texels, LANE) * LANE <= _MAX_VMEM_TABLE)
-    return (boundary_mode in ("wrap", "clamp", "zero")
-            and C <= _MAX_CHANNELS
-            and (force or N >= _MIN_N)
-            and C * _cdiv(n_texels, LANE) * LANE <= _MAX_VMEM_TABLE)
+    if (boundary_mode not in ("wrap", "clamp", "zero")
+            or C > _MAX_CHANNELS or not (force or N >= _MIN_N)):
+        return False
+    if C * _cdiv(n_texels, LANE) * LANE <= _MAX_VMEM_TABLE:
+        return True
+    if meta is None or L == 0:
+        return False
+    split = _split_levels(meta, L, C, n_texels)
+    if C * _cdiv(n_texels - meta[split][0], LANE) * LANE > _MAX_VMEM_TABLE:
+        return False  # even the 1-level tail overflows (huge minibatch)
+    return all(_level_rows(meta, L, n_texels, lev) >= _WIN_ROWS
+               for lev in range(split))
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +203,116 @@ def level_weights(flevel, L, filter_mode):
     l1 = jnp.minimum(l0 + 1, L - 1)
     frac = flevel - l0.astype(jnp.float32)
     return l0, l1, frac
+
+
+# ---------------------------------------------------------------------------
+# Extended-lattice texture gradient. The bilinear footprint of a pixel
+# is a 2x2 lattice cell; instead of scattering each of the 4 corners
+# (x 2 mip slots) in its own MXU one-hot pass, every contribution is
+# addressed by its CELL id on an apron pyramid (each level padded by
+# one texel on all sides, so the cell index jv+1, ju+1 is always in
+# range with no wrap/clamp data dependence) and the 2 u-corners ride
+# the value-row axis (K = 2C). One scatter call replaces 8; borders
+# are folded back by static shift-adds. Weight math matches
+# corner_setup exactly (texture_kernel.cu:368-472).
+# ---------------------------------------------------------------------------
+
+def lattice_setup(u, v, hi, wi, boundary_mode):
+    """Unclamped bilinear cell (ju, jv) in [-1, n-1] plus w4.
+
+    The corner (du, dv) of pixel cells lives at texel (ju+du, jv+dv)
+    pre-wrap/clamp; w4 is identical to corner_setup's (validity folded
+    in for 'zero')."""
+    w = jnp.float32(wi)
+    h = jnp.float32(hi)
+    if boundary_mode == "wrap":
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+    u = u * w - 0.5
+    v = v * h - 0.5
+    if boundary_mode == "clamp":
+        u = jnp.clip(u, 0.0, w - 1.0)
+        v = jnp.clip(v, 0.0, h - 1.0)
+    ju = jnp.floor(u).astype(jnp.int32)
+    jv = jnp.floor(v).astype(jnp.int32)
+    fu = u - ju.astype(jnp.float32)
+    fv = v - jv.astype(jnp.float32)
+    one = jnp.ones(u.shape, jnp.float32)
+    if boundary_mode == "zero":
+        u0_ok = ((ju >= 0) & (ju < wi)).astype(jnp.float32)
+        u1_ok = ((ju + 1 >= 0) & (ju + 1 < wi)).astype(jnp.float32)
+        v0_ok = ((jv >= 0) & (jv < hi)).astype(jnp.float32)
+        v1_ok = ((jv + 1 >= 0) & (jv + 1 < hi)).astype(jnp.float32)
+        ok4 = (u0_ok * v0_ok, u1_ok * v0_ok, u0_ok * v1_ok, u1_ok * v1_ok)
+        # Arbitrary out-of-texture uvs: park the (weightless) cell on
+        # the apron so its id stays in range.
+        ju = jnp.clip(ju, -1, wi - 1)
+        jv = jnp.clip(jv, -1, hi - 1)
+    else:
+        ok4 = (one, one, one, one)
+    gu = 1.0 - fu
+    gv = 1.0 - fv
+    w4 = (gu * gv * ok4[0], fu * gv * ok4[1],
+          gu * fv * ok4[2], fu * fv * ok4[3])
+    return ju, jv, w4
+
+
+def ext_meta(meta, L, NT):
+    """Apron-pyramid layout: ((eoff, hl, wl) per level, NTe, B_tex)."""
+    texels = sum(h * w for _, h, w in meta[:L])
+    B_tex = NT // texels
+    out = []
+    eoff = 0
+    for lev in range(L):
+        _, hl, wl = meta[lev]
+        out.append((eoff, hl, wl))
+        eoff += B_tex * (hl + 2) * (wl + 2)
+    return tuple(out), eoff, B_tex
+
+
+def _fold_last(T, n, mode, shift):
+    """Fold a (n+2)-wide extended last axis onto n real texels.
+
+    Entry at extended index e holds the contribution of texel
+    a = e - shift (shift = 1 for the du=0 corner, 0 for du=1); borders
+    wrap / clamp / drop per boundary mode."""
+    core = T[..., shift:n + shift]
+    if mode == "zero":
+        return core
+    lo = T[..., :shift]            # a = -1
+    hi = T[..., n + shift:]        # a = n (+1 zero slab when shift=0)
+    if mode == "wrap":
+        if shift:
+            core = core.at[..., (n - 1) % n].add(lo[..., 0])
+        for i in range(hi.shape[-1]):
+            core = core.at[..., i % n].add(hi[..., i])
+    else:  # clamp
+        if shift:
+            core = core.at[..., 0].add(lo[..., 0])
+        for i in range(hi.shape[-1]):
+            core = core.at[..., n - 1].add(hi[..., i])
+    return core
+
+
+def fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C):
+    """[2C, NTe] apron-lattice sums -> [C, NT] pyramid gradient."""
+    parts = []
+    eoff = 0
+    for lev in range(L):
+        _, hl, wl = meta[lev]
+        he, we = hl + 2, wl + 2
+        n = B_tex * he * we
+        E = g_ext[:, eoff:eoff + n].reshape(2, C, B_tex, he, we)
+        eoff += n
+        acc = None
+        for du in (0, 1):
+            t = _fold_last(E[du], wl, boundary_mode, 1 - du)
+            t = jnp.swapaxes(
+                _fold_last(jnp.swapaxes(t, -1, -2), hl, boundary_mode, 1),
+                -1, -2)
+            acc = t if acc is None else acc + t
+        parts.append(acc.reshape(C, B_tex * hl * wl))
+    return jnp.concatenate(parts, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -308,20 +437,158 @@ def _gather_rc(tbl_ref, rows4, cols4, base_s, wl, active, C, q_ref):
     jax.lax.fori_loop(rmin2, rmax2 + 1, rbody, 0)
 
 
-def _build_kernel(mode, C, L, meta, boundary_mode, filter_mode):
+def _split_levels(meta, L, C, NT):
+    """First VMEM-resident level: levels [0, split) stay in HBM and are
+    sampled through windowed DMA; the [split, L) tail is packed into
+    the VMEM table. split is the smallest index whose tail fits."""
+    split = 0
+    while (split < L - 1
+           and C * _cdiv(NT - meta[split][0], LANE) * LANE
+           > _MAX_VMEM_TABLE):
+        split += 1
+    return split
+
+
+def _level_rows(meta, L, NT, lev):
+    """(B_tex * h) texture rows of level `lev` (minibatch included)."""
+    off, hl, wl = meta[lev]
+    nxt = meta[lev + 1][0] if lev + 1 < L else NT
+    return (nxt - off) // wl
+
+
+def _gather_big(bref, setup, tzs, hl, wl, wlp, active, C, q_ref,
+                wscr_ref, sem):
+    """Corner gather from an HBM-resident level [C, B*h, wlp/128, 128].
+
+    Large levels don't fit the VMEM table; instead, for each
+    (_WIN_ROWS-row window x 128-lane column chunk) of the level that
+    the block's corners touch, one DMA stages the window into VMEM
+    scratch and the usual lane-gather runs on it. uvs are image-tile
+    coherent, so a 64x128 pixel block touches a handful of windows —
+    traffic ~= the block's texel footprint. Row windows reuse
+    _gather_rc's extreme-cluster split (revisits are safe: corner
+    selects are idempotent); column chunks are any-hit guarded, so
+    wrap-seam poisoning costs only empty loop steps. The reference
+    leans on hardware texture caches for the same locality
+    (csrc/common/texture_kernel.cu:368-472).
+    """
+    iu0, iu1, iv0, iv1 = setup[:4]
+    rows4 = tuple(r + tzs * hl for r in (iv0, iv0, iv1, iv1))
+    cols4 = (iu0, iu1, iu0, iu1)
+    chs4 = tuple(cc >> 7 for cc in cols4)
+    los = tuple(cc & 127 for cc in cols4)
+    WR = _WIN_ROWS
+    BH = bref.shape[1]
+    big = jnp.int32(1 << 30)
+    shape = iu0.shape
+
+    def mmin4(vals):
+        m = jnp.minimum(jnp.minimum(vals[0], vals[1]),
+                        jnp.minimum(vals[2], vals[3]))
+        return jnp.min(jnp.where(active, m, big))
+
+    def mmax4(vals):
+        m = jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                        jnp.maximum(vals[2], vals[3]))
+        return jnp.max(jnp.where(active, m, -1))
+
+    rmin = mmin4(rows4)
+    rmax = mmax4(rows4)
+    chmin = mmin4(chs4)
+    chmax = mmax4(chs4)
+    any_act = rmax >= 0
+    w_first = jnp.where(any_act, rmin // WR, 0)
+    w_last = jnp.where(any_act, rmax // WR, 0)
+    # Strictly-interior row windows (extremes visited explicitly).
+    lo2 = []
+    hi2 = []
+    for rr in rows4:
+        inr = active & (rr > rmin) & (rr < rmax)
+        lo2.append(jnp.where(inr, rr // WR, big))
+        hi2.append(jnp.where(inr, rr // WR, -1))
+    wmin2 = jnp.min(jnp.minimum(jnp.minimum(lo2[0], lo2[1]),
+                                jnp.minimum(lo2[2], lo2[3])))
+    wmax2 = jnp.max(jnp.maximum(jnp.maximum(hi2[0], hi2[1]),
+                                jnp.maximum(hi2[2], hi2[3])))
+
+    def wbody(rw, carry):
+        # Clamped start keeps the static-size window in range even
+        # when B*h is not a multiple of the window (duplicate visits
+        # are harmless).
+        rw0 = jnp.minimum(rw * WR, BH - WR)
+        row_in = [active & (r >= rw0) & (r < rw0 + WR) for r in rows4]
+
+        def cbody(ch, carry2):
+            sels = [row_in[k] & (chs4[k] == ch) for k in range(4)]
+            hit = (sels[0] | sels[1]) | (sels[2] | sels[3])
+
+            @pl.when(jnp.any(hit))
+            def _do():
+                cp = pltpu.make_async_copy(
+                    bref.at[:, pl.ds(rw0, WR), ch, :], wscr_ref, sem)
+                cp.start()
+                cp.wait()
+
+                def rbody(rloc, carry3):
+                    s2 = [sels[k] & (rows4[k] - rw0 == rloc)
+                          for k in range(4)]
+                    h2 = (s2[0] | s2[1]) | (s2[2] | s2[3])
+
+                    @pl.when(jnp.any(h2))
+                    def _g():
+                        for c in range(C):
+                            row = wscr_ref[c, rloc, :]
+                            chunk = jnp.broadcast_to(row[None, :], shape)
+                            for k in range(4):
+                                g = jnp.take_along_axis(chunk, los[k],
+                                                        axis=1)
+                                kk = 4 * c + k
+                                q_ref[kk] = jnp.where(s2[k], g, q_ref[kk])
+
+                    return carry3
+
+                jax.lax.fori_loop(0, WR, rbody, 0)
+
+            return carry2
+
+        jax.lax.fori_loop(chmin, chmax + 1, cbody, 0)
+        return carry
+
+    for k in range(4 * C):
+        q_ref[k] = jnp.zeros(shape, jnp.float32)
+
+    wbody(w_first, 0)
+
+    @pl.when(w_last != w_first)
+    def _last_win():
+        wbody(w_last, 0)
+
+    jax.lax.fori_loop(wmin2, wmax2 + 1, wbody, 0)
+
+
+def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0):
     """mode: 'fwd' emits [C] filtered color; 'bwd' emits (gu, gv, gfl).
 
-    meta: tuple of (off, h, w) Python ints per level. The per-pixel
-    minibatch texture index tz arrives as an input array so the kernel
-    is minibatch-agnostic.
+    meta_k: per level either ('vmem', off_rel, h, w) — packed into the
+    VMEM-resident tail table — or ('hbm', big_idx, h, w, wlp) — an
+    HBM-resident level gathered through windowed DMA (_gather_big).
+    The per-pixel minibatch texture index tz arrives as an input array
+    so the kernel is minibatch-agnostic.
     """
 
     def kernel(*refs):
+        tbl_ref = refs[0]
+        big_refs = refs[1:1 + n_big]
+        rest = refs[1 + n_big:]
         if mode == "fwd":
-            (tbl_ref, u_ref, v_ref, fl_ref, tz_ref, out_ref, q_ref) = refs
+            (u_ref, v_ref, fl_ref, tz_ref, out_ref, *scr) = rest
         else:
-            (tbl_ref, u_ref, v_ref, fl_ref, tz_ref, dy_ref,
-             gu_ref, gv_ref, gfl_ref, q_ref) = refs
+            (u_ref, v_ref, fl_ref, tz_ref, dy_ref,
+             gu_ref, gv_ref, gfl_ref, *scr) = rest
+        if n_big:
+            q_ref, wscr_ref, sem = scr
+        else:
+            (q_ref,) = scr
 
         u = u_ref[...]
         v = v_ref[...]
@@ -339,7 +606,8 @@ def _build_kernel(mode, C, L, meta, boundary_mode, filter_mode):
             gfl_ref[...] = jnp.zeros(u.shape, jnp.float32)
 
         for lev in range(L):
-            off, hl, wl = meta[lev]
+            ent = meta_k[lev]
+            hl, wl = ent[2], ent[3]
             on0 = l0 == lev
             on1 = l1 == lev
             active = on0 | on1
@@ -350,8 +618,13 @@ def _build_kernel(mode, C, L, meta, boundary_mode, filter_mode):
 
             setup = corner_setup(u, v, hl, wl, boundary_mode)
             # tz is block-constant (blocks never straddle images).
-            base_s = off + tz[0, 0] * (hl * wl)
-            _gather_corners(tbl_ref, setup, base_s, wl, active, C, q_ref)
+            if ent[0] == "hbm":
+                _gather_big(big_refs[ent[1]], setup, tz[0, 0], hl, wl,
+                            ent[4], active, C, q_ref, wscr_ref, sem)
+            else:
+                base_s = ent[1] + tz[0, 0] * (hl * wl)
+                _gather_corners(tbl_ref, setup, base_s, wl, active, C,
+                                q_ref)
             fu, fv, w4, ok4 = setup[4], setup[5], setup[6], setup[7]
 
             if mode == "fwd":
@@ -414,7 +687,28 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
     rows_p = N // LANE
     assert rows_p % BLKR == 0
 
-    tbl3 = _prep_table(flat_cm)
+    # Split the pyramid: levels whose cumulative tail exceeds the VMEM
+    # table budget live in HBM as [C, B*h, wlp/128, 128] arrays and are
+    # gathered through windowed DMA.
+    NT = flat_cm.shape[1]
+    split = _split_levels(meta, L, C, NT)
+    bigs = []
+    meta_k = []
+    for lev in range(L):
+        off, hl, wl = meta[lev]
+        if lev < split:
+            nxt = meta[lev + 1][0] if lev + 1 < L else NT
+            bh = (nxt - off) // wl
+            wlp = _cdiv(wl, LANE) * LANE
+            blk = flat_cm[:, off:nxt].reshape(C, bh, wl)
+            if wlp != wl:
+                blk = jnp.pad(blk, ((0, 0), (0, 0), (0, wlp - wl)))
+            bigs.append(blk.reshape(C, bh, wlp // LANE, LANE))
+            meta_k.append(("hbm", len(bigs) - 1, hl, wl, wlp))
+        else:
+            meta_k.append(("vmem", off - meta[split][0], hl, wl))
+
+    tbl3 = _prep_table(flat_cm[:, meta[split][0]:])
     HI = tbl3.shape[1]
 
     args = [_flatpad(a, rows_p) for a in (u, v, flevel)]
@@ -428,8 +722,9 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
                              memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((C, HI, LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
+    big_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
-    in_specs = [tbl_spec] + [flat_spec] * 4
+    in_specs = [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 4
     if mode == "bwd":
         in_specs.append(chan_spec)
         out_specs = [flat_spec] * 3
@@ -438,16 +733,22 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
         out_specs = [chan_spec]
         out_shape = [jax.ShapeDtypeStruct((C, rows_p, LANE), jnp.float32)]
 
-    kernel = _build_kernel(mode, C, L, meta, boundary_mode, filter_mode)
+    scratch = [pltpu.VMEM((4 * C, BLKR, LANE), jnp.float32)]
+    if bigs:
+        scratch += [pltpu.VMEM((C, _WIN_ROWS, LANE), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())]
+
+    kernel = _build_kernel(mode, C, L, tuple(meta_k), boundary_mode,
+                           filter_mode, n_big=len(bigs))
     outs = pl.pallas_call(
         kernel,
         grid=(rows_p // BLKR,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((4 * C, BLKR, LANE), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(tbl3, *args)
+    )(tbl3, *bigs, *args)
 
     def unflat(a):
         return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
@@ -507,34 +808,46 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
     gv = _tile_unorder(gv, B, H, W)
     gfl = _tile_unorder(gfl, B, H, W)
 
-    # Texture gradient: recompute ids/weights per level slot
-    # (elementwise, no gathers) and scatter dy * w on the MXU kernel.
-    g_flat = None
+    # Texture gradient on the apron lattice: ONE MXU one-hot scatter
+    # for all corners of all mip slots (cell ids + 2C value rows; the
+    # two cell rows ride concatenated pixel streams), then fold the
+    # apron borders back per boundary mode. See lattice_setup.
+    emeta, NTe, B_tex = ext_meta(meta, L, NT)
     if filter_mode == "linear-mipmap-linear":
         slots = ((l0, 1.0 - frac), (l1, frac))
     else:
         slots = ((l0, jnp.ones_like(frac)),)
+    ids_parts = []
+    vals_parts = []
     for lsel, lw in slots:
-        # Select per-pixel level geometry by static-level cascade.
-        ids4 = None
+        # Select per-pixel cell geometry by static-level cascade.
+        eid = ws = None
         w4s = None
         for lev in range(L):
-            off, hl, wl = meta[lev]
+            eoff, hl, wl = emeta[lev]
             on = lsel == lev
-            setup = corner_setup(ut, vt, hl, wl, boundary_mode)
-            base = off + tzt * (hl * wl)
-            c_ids = corner_ids(setup, base, wl)
-            c_w = setup[6]
-            if ids4 is None:
-                ids4 = [jnp.where(on, i, 0) for i in c_ids]
+            ju, jv, c_w = lattice_setup(ut, vt, hl, wl, boundary_mode)
+            we = wl + 2
+            e = (eoff + tzt * ((hl + 2) * we)
+                 + (jv + 1) * we + (ju + 1))
+            if eid is None:
+                eid = jnp.where(on, e, 0)
+                ws = jnp.where(on, we, 0)
                 w4s = [jnp.where(on, w, 0.0) for w in c_w]
             else:
-                ids4 = [jnp.where(on, i, p) for i, p in zip(c_ids, ids4)]
+                eid = jnp.where(on, e, eid)
+                ws = jnp.where(on, we, ws)
                 w4s = [jnp.where(on, w, p) for w, p in zip(c_w, w4s)]
-        for corner in range(4):
-            vals = dyt * (w4s[corner] * lw)[None, :]  # [C, Np]
-            g = scatter_add_by_id(ids4[corner], vals, NT).T  # [C, NT]
-            g_flat = g if g_flat is None else g_flat + g
+        dlw = dyt * lw[None, :]  # [C, Np]
+        for dv in (0, 1):  # cell row dv: corners (0, dv), (1, dv)
+            ids_parts.append(eid + dv * ws)
+            vals_parts.append(jnp.concatenate(
+                [dlw * w4s[2 * dv][None], dlw * w4s[2 * dv + 1][None]],
+                axis=0))  # [2C, Np], du-major
+    g_ext = scatter_add_by_id(
+        jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
+        NTe).T  # [2C, NTe]
+    g_flat = fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C)
 
     return (g_flat, gu, gv, gfl, None)
 
@@ -833,11 +1146,16 @@ def _sample_cube_bwd(meta, L, filter_mode, shape, interpret, saved, dy):
     # (average-of-3 redistributes invalid-corner weight onto the valid
     # corners: w_eff[j] = w_j ok_j + ok_j/n_ok * sum_i w_i (1 - ok_i)).
     l0, l1, frac = level_weights(flt, L, filter_mode)
-    g_flat = None
     if filter_mode == "linear-mipmap-linear":
         slots = ((l0, 1.0 - frac), (l1, frac))
     else:
         slots = ((l0, jnp.ones_like(frac)),)
+    # Seam wrap sends corners to other faces, so ids are not
+    # lattice-regular (no apron trick); still, all corner streams of
+    # all mip slots are concatenated into ONE scatter call — one VMEM
+    # accumulator init and no inter-call table adds.
+    ids_parts = []
+    vals_parts = []
     for lsel, lw in slots:
         ids4 = None
         w4s = None
@@ -859,9 +1177,11 @@ def _sample_cube_bwd(meta, L, filter_mode, shape, interpret, saved, dy):
                 ids4 = [jnp.where(on, i, p) for i, p in zip(c_ids, ids4)]
                 w4s = [jnp.where(on, w, p) for w, p in zip(c_w, w4s)]
         for corner in range(4):
-            vals = dyt * (w4s[corner] * lw)[None, :]  # [C, Np]
-            g = scatter_add_by_id(ids4[corner], vals, NT).T
-            g_flat = g if g_flat is None else g_flat + g
+            ids_parts.append(ids4[corner])
+            vals_parts.append(dyt * (w4s[corner] * lw)[None, :])
+    g_flat = scatter_add_by_id(
+        jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
+        NT).T  # [C, NT]
 
     def int0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)

@@ -65,6 +65,32 @@ def test_scatter_large_table_windowed():
                                atol=3e-5 * scale)
 
 
+def test_scatter_row_blocked():
+    """Tables past the VMEM accumulator budget: grid over output row
+    blocks with a chunk remap (forced by shrinking the budget)."""
+    from nvdiffrast_tpu.ops import scatter as sc
+    rng = np.random.RandomState(11)
+    K, R, N = 5, 60000, 1 << 17
+    ids = np.sort(rng.randint(0, R, N)).astype(np.int32)
+    ids[::777] = -3
+    ids[300::777] = R + 5
+    vals = rng.randn(K, N).astype(np.float32)
+    vals[:, 1000:9000] = 0.0  # dead stretch: zero-lane window masking
+    a = scatter_add_by_id(jnp.asarray(ids), jnp.asarray(vals), R,
+                          method="scatter")
+    orig = sc._PALLAS_MAX_ACC
+    try:
+        # F=8 for K=5 -> FK=40; QRB = 2048 folded rows -> several blocks.
+        sc._PALLAS_MAX_ACC = 40 * 2048
+        c = scatter_add_by_id(jnp.asarray(ids), jnp.asarray(vals), R,
+                              method="pallas_interpret")
+    finally:
+        sc._PALLAS_MAX_ACC = orig
+    scale = float(jnp.max(jnp.abs(a)))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                               atol=3e-5 * scale)
+
+
 def test_scatter_incoherent_ids_windowed():
     rng = np.random.RandomState(8)
     K, R, N = 3, 50000, 1 << 17

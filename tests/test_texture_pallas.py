@@ -87,6 +87,38 @@ def test_texture_fused_gradient_parity_linear():
                                    atol=1e-4, rtol=1e-4, err_msg=n)
 
 
+def test_texture_fused_big_texture_windowed():
+    """Pyramids past the VMEM table budget: the big levels are gathered
+    through HBM windowed DMA (forced by shrinking the budget); forward
+    and all gradients must match the XLA path."""
+    from nvdiffrast_tpu.ops import texture_pallas as tp
+    tex, uv, uv_da, bias = _case(H=17, W=21, th=64, tw=128)
+
+    def loss(t, u, da, b, impl):
+        o = texture(t, u, uv_da=da, mip_level_bias=b,
+                    filter_mode="linear-mipmap-linear",
+                    boundary_mode="wrap", impl=impl)
+        return jnp.sum(o ** 2 + 0.3 * o)
+
+    gx = jax.grad(loss, argnums=(0, 1, 2, 3))(tex, uv, uv_da, bias, "xla")
+    orig = tp._MAX_VMEM_TABLE
+    try:
+        # 64x128 top level (x2 minibatch x3 ch) overflows a 16k-float
+        # budget; levels 0-2 go to HBM windows, the tail stays VMEM.
+        tp._MAX_VMEM_TABLE = 1 << 14
+        fx = loss(tex, uv, uv_da, bias, "xla")
+        fp = loss(tex, uv, uv_da, bias, "pallas_interpret")
+        np.testing.assert_allclose(float(fp), float(fx), rtol=1e-5)
+        gp = jax.grad(loss, argnums=(0, 1, 2, 3))(tex, uv, uv_da, bias,
+                                                  "pallas_interpret")
+    finally:
+        tp._MAX_VMEM_TABLE = orig
+    for n, a, b in zip(("g_tex", "g_uv", "g_uv_da", "g_bias"), gx, gp):
+        assert float(jnp.abs(a).sum()) > 0, n
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4, err_msg=n)
+
+
 def test_texture_fused_fd_gradient():
     """Finite differences directly against the fused path (uv grads)."""
     tex, uv, uv_da, _ = _case(H=9, W=11, th=16, tw=16)
