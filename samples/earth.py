@@ -27,12 +27,18 @@ def main():
     ap.add_argument("--log-interval", type=int, default=100)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--max-mip-level", type=int, default=9)
+    ap.add_argument("--tex-res", type=str, default="128x256",
+                    help="texture HxW; the reference's atlas is "
+                         "1536x2048 (samples/torch/earth.py:73) and is "
+                         "served by the fused big-texture sampler")
     args = ap.parse_args()
 
     from nvdiffrast_tpu.models.fit_earth import EarthFitModel
 
+    th, tw = (int(x) for x in args.tex_res.split("x"))
     model = EarthFitModel(res=args.res, enable_mip=args.mip,
-                          max_mip_level=args.max_mip_level)
+                          max_mip_level=args.max_mip_level,
+                          tex_res=(th, tw))
     psnr = model.fit(max_iter=args.max_iter, log_interval=args.log_interval)
     print(f"final texture PSNR: {psnr:.2f} dB (mip={'on' if args.mip else 'off'})")
 
