@@ -44,10 +44,13 @@ def supported(C, R):
 
 
 def _blkr(C):
-    # Rows per block: trade VMEM (inputs+outputs are ~6C+30 tiles of
-    # BLKR x 128 floats, double-buffered) against per-step DMA/grid
-    # overhead. 512 rows overflow the 16 MB scoped budget at C=3.
-    return 256 if C <= 4 else 128
+    # Rows per block = one 64x128 image tile: pixels are reordered
+    # tile-major (texture_pallas._tile_order) so silhouette crossings
+    # cluster in a few blocks and the per-block any-hit guards skip
+    # the pair analysis everywhere else (a flat row-major block spans
+    # the full image width and almost always crosses a silhouette).
+    del C
+    return 64
 
 
 def _masked_gather(tbl_ref, rid, active, nk, out_refs):
@@ -139,7 +142,6 @@ def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False,
     B, H, W, C = color.shape
     N = B * H * W
     BLKR = _blkr(C)
-    rows_p = _cdiv(_cdiv(N, LANE), BLKR) * BLKR
 
     rflat = rast.reshape(N, 4)
     idf0 = rflat[:, 3]
@@ -151,12 +153,24 @@ def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False,
     zx, zd = _shifts(z0, bx, by, W)
     cx, cd = _shifts(ct, bx, by, W)
 
+    # Neighbor shifts happen in row-major space (above); the kernel
+    # streams are then regrouped into 64x128 image tiles so each block
+    # sees a compact screen region (see _blkr). Residuals are returned
+    # in tile order — the backward consumes them as-is.
+    from .texture_pallas import _tile_order
+    to = lambda a: _tile_order(a, B, H, W)  # noqa: E731
+    idf0, idfx, idfd, z0, zx, zd, fx, fy, rofs = (
+        to(a) for a in (idf0, idfx, idfd, z0, zx, zd, fx, fy, rofs))
+    ct_t, cx, cd = (to(a) for a in (ct, cx, cd))
+    Np = idf0.shape[-1]
+    rows_p = _cdiv(_cdiv(Np, LANE), BLKR) * BLKR
+
     tbl3 = _prep_table(ftable)
     HI = tbl3.shape[1]
 
     args = [_flatpad(a, rows_p) for a in
             (idf0, idfx, idfd, z0, zx, zd, fx, fy, rofs)]
-    cargs = [_flatpad(a, rows_p) for a in (ct, cx, cd)]
+    cargs = [_flatpad(a, rows_p) for a in (ct_t, cx, cd)]
 
     def kernel(tbl_ref, i0_ref, ix_ref, iy_ref, z0_ref, zx_ref, zy_ref,
                fx_ref, fy_ref, ro_ref, c0_ref, cx_ref, cy_ref,
@@ -176,19 +190,33 @@ def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False,
                  (iy_ref, zy_ref, cy_ref, negy_ref, al1_ref, ax1_ref))):
             id1 = i1_ref[...]
             tid, is_t1, active = pair_ids(id0, id1, zz0, z1_ref[...], T)
-            rid = tid + ro
-            _masked_gather(tbl_ref, rid, active,
-                           7, [_Sub(t7, k) for k in range(7)])
-            t7v = [t7[k] for k in range(7)]
-            alpha, di = pair_alpha(t7v, fxv, fyv, is_t1, active, d)
-            apos = alpha > 0
+            zero = jnp.zeros(id0.shape, jnp.float32)
             for c in range(C):
-                contrib = alpha * (c1_ref[c] - c0[c])
-                out_ref[c] = out_ref[c] + jnp.where(apos, contrib, 0.0)
-                neg_ref[c] = jnp.where(apos, 0.0, contrib)
-            al_ref[...] = alpha
-            ax_ref[...] = (di.astype(jnp.float32)
-                           + 4.0 * is_t1.astype(jnp.float32))
+                neg_ref[c] = zero
+            al_ref[...] = zero
+            ax_ref[...] = zero
+
+            # Pair analysis only where the block actually contains a
+            # discontinuity: pairs are silhouette-sparse and pixels are
+            # tile-ordered, so most blocks skip everything (alpha = 0
+            # everywhere in them; aux is consumed only where al != 0).
+            @pl.when(jnp.any(active))
+            def _analysis(d=d, c1_ref=c1_ref, neg_ref=neg_ref,
+                          al_ref=al_ref, ax_ref=ax_ref, tid=tid,
+                          is_t1=is_t1, active=active):
+                rid = tid + ro
+                _masked_gather(tbl_ref, rid, active,
+                               7, [_Sub(t7, k) for k in range(7)])
+                t7v = [t7[k] for k in range(7)]
+                alpha, di = pair_alpha(t7v, fxv, fyv, is_t1, active, d)
+                apos = alpha > 0
+                for c in range(C):
+                    contrib = alpha * (c1_ref[c] - c0[c])
+                    out_ref[c] = out_ref[c] + jnp.where(apos, contrib, 0.0)
+                    neg_ref[c] = jnp.where(apos, 0.0, contrib)
+                al_ref[...] = alpha
+                ax_ref[...] = (di.astype(jnp.float32)
+                               + 4.0 * is_t1.astype(jnp.float32))
 
     grid = (rows_p // BLKR,)
     flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),
@@ -212,15 +240,20 @@ def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False,
     )(tbl3, *args, *cargs)
 
     out_k, negx, negy, al0, ax0, al1, ax1 = outs
+    from .texture_pallas import _tile_unorder
 
     def unflat(a):
-        return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
+        # kernel layout [.., rows_p, 128] -> tile stream -> row-major [N]
+        flat = a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :Np]
+        return _tile_unorder(flat, B, H, W)
 
     out = unflat(out_k)  # [C, N]
     out = out + _roll_next_last(unflat(negx), 1)
     out = out + _roll_next_last(unflat(negy), W)
     out = out.T.reshape(B, H, W, C)
-    res = tuple(unflat(a) for a in (al0, ax0, al1, ax1))
+    # Residuals stay in the kernel's padded tile order; the fused
+    # backward consumes them directly (padding lanes carry al = 0).
+    res = tuple(a.reshape(rows_p * LANE) for a in (al0, ax0, al1, ax1))
     return out, res
 
 
@@ -255,7 +288,6 @@ def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
     B, H, W, C = color.shape
     N = B * H * W
     BLKR = _blkr(2 * C)
-    rows_p = _cdiv(_cdiv(N, LANE), BLKR) * BLKR
 
     rflat = rast.reshape(N, 4)
     idf0 = rflat[:, 3]
@@ -268,15 +300,23 @@ def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
     cx, cd = _shifts(ct, bx, by, W)
     dyx, dyd = _shifts(dyt, bx, by, W)
 
+    # Same tile-major regrouping as the forward; the residuals arrive
+    # already in the kernel's padded tile order.
+    from .texture_pallas import _tile_order, _tile_unorder
+    to = lambda a: _tile_order(a, B, H, W)  # noqa: E731
+    idf0, idfx, idfd, fx, fy, rofs = (
+        to(a) for a in (idf0, idfx, idfd, fx, fy, rofs))
+    ct_t, cx, cd, dyt_t, dyx, dyd = (
+        to(a) for a in (ct, cx, cd, dyt, dyx, dyd))
+    Np = idf0.shape[-1]
+    rows_p = _cdiv(_cdiv(Np, LANE), BLKR) * BLKR
+
     tbl3 = _prep_table(btable)
     HI = tbl3.shape[1]
 
     args = [_flatpad(a, rows_p) for a in
             (idf0, idfx, idfd, fx, fy, rofs, al0, ax0, al1, ax1)]
-    # Residual padding must be inactive, not edge-replicated.
-    args[6] = _flatpad(al0, rows_p, fill=0.0)
-    args[8] = _flatpad(al1, rows_p, fill=0.0)
-    cargs = [_flatpad(a, rows_p) for a in (ct, cx, cd, dyt, dyx, dyd)]
+    cargs = [_flatpad(a, rows_p) for a in (ct_t, cx, cd, dyt_t, dyx, dyd)]
 
     def kernel(tbl_ref, i0_ref, ix_ref, iy_ref, fx_ref, fy_ref, ro_ref,
                al0_ref, ax0_ref, al1_ref, ax1_ref,
@@ -299,33 +339,47 @@ def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
                  (iy_ref, cy_ref, dyy_ref, vy_ref, gv1_ref, rid1_ref,
                   al1_ref, ax1_ref))):
             al = al_ref[...]
-            di, is_t1 = decode_aux(ax_ref[...])
-            active = al != 0.0
-            idf = jnp.where(is_t1, i1_ref[...], id0)
-            tsel = idf.astype(jnp.int32) - 1
-            ok = active & (tsel >= 0) & (tsel < T)
-            tid = jnp.where(ok, tsel, 0)
-            rid = tid + ro
-            rid_ref[...] = rid
-
-            _masked_gather(tbl_ref, rid, ok,
-                           9, [_Sub(t9, k) for k in range(9)])
-            t9v = [t9[k] for k in range(9)]
-
-            apos = al > 0
-            dd = jnp.zeros_like(al)
+            zero = jnp.zeros(al.shape, jnp.float32)
+            rid_ref[...] = ro
             for c in range(C):
-                pdy = jnp.where(apos, dy0[c], dy1_ref[c])
-                v = al * pdy
-                gc_ref[c] = gc_ref[c] - v
-                v_ref[c] = v
-                dd = dd + pdy * (c1_ref[c] - c0[c])
-            dd = jnp.where(active, dd, 0.0)
-            keep = ok & (dd != 0.0) & (jnp.abs(al) < 0.5)
-            cols = pair_pos_grad(t9v, dd, keep, di, is_t1, fxv, fyv,
-                                 d, W, Hf)
+                v_ref[c] = zero
             for k in range(9):
-                gv_ref[k] = cols[k]
+                gv_ref[k] = zero
+
+            # Replay only blocks that recorded silhouette pairs in the
+            # forward (tile-ordered pixels cluster them; everything
+            # the guard skips has al == 0, i.e. zero contributions).
+            @pl.when(jnp.any(al != 0.0))
+            def _replay(d=d, i1_ref=i1_ref, c1_ref=c1_ref,
+                        dy1_ref=dy1_ref, v_ref=v_ref, gv_ref=gv_ref,
+                        rid_ref=rid_ref, ax_ref=ax_ref, al=al):
+                di, is_t1 = decode_aux(ax_ref[...])
+                active = al != 0.0
+                idf = jnp.where(is_t1, i1_ref[...], id0)
+                tsel = idf.astype(jnp.int32) - 1
+                ok = active & (tsel >= 0) & (tsel < T)
+                tid = jnp.where(ok, tsel, 0)
+                rid = jnp.where(ok, tid + ro, ro)
+                rid_ref[...] = rid
+
+                _masked_gather(tbl_ref, rid, ok,
+                               9, [_Sub(t9, k) for k in range(9)])
+                t9v = [t9[k] for k in range(9)]
+
+                apos = al > 0
+                dd = jnp.zeros_like(al)
+                for c in range(C):
+                    pdy = jnp.where(apos, dy0[c], dy1_ref[c])
+                    v = al * pdy
+                    gc_ref[c] = gc_ref[c] - v
+                    v_ref[c] = v
+                    dd = dd + pdy * (c1_ref[c] - c0[c])
+                dd = jnp.where(active, dd, 0.0)
+                keep = ok & (dd != 0.0) & (jnp.abs(al) < 0.5)
+                cols = pair_pos_grad(t9v, dd, keep, di, is_t1, fxv, fyv,
+                                     d, W, Hf)
+                for k in range(9):
+                    gv_ref[k] = cols[k]
 
     grid = (rows_p // BLKR,)
     flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),
@@ -356,7 +410,12 @@ def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
     gc, vx, vy, gv0, gv1, rid0, rid1 = outs
 
     def unflat(a):
-        return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
+        # kernel layout -> row-major [.., N]. Stripping the tile
+        # padding here is load-bearing for rid/gval: padded lanes
+        # replicate edge pixels and would double-count their position
+        # gradients in the scatter.
+        flat = a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :Np]
+        return _tile_unorder(flat, B, H, W)
 
     g_color = unflat(gc)  # [C, N]
     g_color = g_color + _roll_next_last(unflat(vx), 1)
