@@ -94,12 +94,9 @@ def supported(C, n_texels, N, cube_mode, boundary_mode, force=False,
     profitability heuristic (explicit impl= request). 2D pyramids past
     the VMEM table budget are still served when every overflowing
     level is eligible for HBM window gathering (pass meta/L)."""
-    if cube_mode:
-        return (C <= _MAX_CHANNELS
-                and (force or N >= _MIN_N)
-                and C * _cdiv(n_texels, LANE) * LANE <= _MAX_VMEM_TABLE)
-    if (boundary_mode not in ("wrap", "clamp", "zero")
-            or C > _MAX_CHANNELS or not (force or N >= _MIN_N)):
+    if not cube_mode and boundary_mode not in ("wrap", "clamp", "zero"):
+        return False
+    if C > _MAX_CHANNELS or not (force or N >= _MIN_N):
         return False
     if C * _cdiv(n_texels, LANE) * LANE <= _MAX_VMEM_TABLE:
         return True
@@ -456,31 +453,38 @@ def _level_rows(meta, L, NT, lev):
     return (nxt - off) // wl
 
 
-def _gather_big(bref, setup, tzs, hl, wl, wlp, active, C, q_ref,
-                wscr_ref, sem):
-    """Corner gather from an HBM-resident level [C, B*h, wlp/128, 128].
+def _gather_big_2d(bref, setup, tzs, hl, wl, wlp, active, C, q_ref,
+                   wscr_ref, sem):
+    """2-D texture corner gather from an HBM level (see _gather_big)."""
+    iu0, iu1, iv0, iv1 = setup[:4]
+    _gather_big(bref, tuple(r + tzs * hl for r in (iv0, iv0, iv1, iv1)),
+                (iu0, iu1, iu0, iu1), wlp, active, C, q_ref, wscr_ref,
+                sem)
+
+
+def _gather_big(bref, rows4, cols4, wlp, active, C, q_ref, wscr_ref, sem):
+    """Corner gather from an HBM-resident level [C, R, wlp/128, 128].
 
     Large levels don't fit the VMEM table; instead, for each
     (_WIN_ROWS-row window x 128-lane column chunk) of the level that
     the block's corners touch, one DMA stages the window into VMEM
     scratch and the usual lane-gather runs on it. uvs are image-tile
     coherent, so a 64x128 pixel block touches a handful of windows —
-    traffic ~= the block's texel footprint. Row windows reuse
-    _gather_rc's extreme-cluster split (revisits are safe: corner
-    selects are idempotent); column chunks are any-hit guarded, so
-    wrap-seam poisoning costs only empty loop steps. The reference
+    traffic ~= the block's texel footprint. `rows4` are global row
+    coordinates (minibatch / cube-face terms folded in by the caller);
+    `cols4` are in [0, wl). Row windows reuse _gather_rc's
+    extreme-cluster split (revisits are safe: corner selects are
+    idempotent); column chunks are any-hit guarded, so wrap-seam /
+    face-hopping poisoning costs only empty loop steps. The reference
     leans on hardware texture caches for the same locality
     (csrc/common/texture_kernel.cu:368-472).
     """
-    iu0, iu1, iv0, iv1 = setup[:4]
-    rows4 = tuple(r + tzs * hl for r in (iv0, iv0, iv1, iv1))
-    cols4 = (iu0, iu1, iu0, iu1)
     chs4 = tuple(cc >> 7 for cc in cols4)
     los = tuple(cc & 127 for cc in cols4)
     WR = _WIN_ROWS
     BH = bref.shape[1]
     big = jnp.int32(1 << 30)
-    shape = iu0.shape
+    shape = cols4[0].shape
 
     def mmin4(vals):
         m = jnp.minimum(jnp.minimum(vals[0], vals[1]),
@@ -619,8 +623,9 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0):
             setup = corner_setup(u, v, hl, wl, boundary_mode)
             # tz is block-constant (blocks never straddle images).
             if ent[0] == "hbm":
-                _gather_big(big_refs[ent[1]], setup, tz[0, 0], hl, wl,
-                            ent[4], active, C, q_ref, wscr_ref, sem)
+                _gather_big_2d(big_refs[ent[1]], setup, tz[0, 0], hl,
+                               wl, ent[4], active, C, q_ref, wscr_ref,
+                               sem)
             else:
                 base_s = ent[1] + tz[0, 0] * (hl * wl)
                 _gather_corners(tbl_ref, setup, base_s, wl, active, C,
@@ -957,16 +962,24 @@ def cube_corner_setup(s, t, face, wl):
     return tuple(rows4), tuple(cols4), tuple(ok4), fu, fv, w4
 
 
-def _build_cube_kernel(mode, C, L, meta, filter_mode):
-    """Cube sampler kernel. meta entries are (off, w, w) per level."""
+def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0):
+    """Cube sampler kernel. meta_k entries are ('vmem', off_rel, w) or
+    ('hbm', big_idx, w, wlp) per level (see _build_kernel)."""
 
     def kernel(*refs):
+        tbl_ref = refs[0]
+        big_refs = refs[1:1 + n_big]
+        rest = refs[1 + n_big:]
         if mode == "fwd":
-            (tbl_ref, s_ref, t_ref, fl_ref, fin_ref, face_ref, tz_ref,
-             out_ref, q_ref) = refs
+            (s_ref, t_ref, fl_ref, fin_ref, face_ref, tz_ref,
+             out_ref, *scr) = rest
         else:
-            (tbl_ref, s_ref, t_ref, fl_ref, fin_ref, face_ref, tz_ref,
-             dy_ref, gs_ref, gt_ref, gfl_ref, q_ref) = refs
+            (s_ref, t_ref, fl_ref, fin_ref, face_ref, tz_ref,
+             dy_ref, gs_ref, gt_ref, gfl_ref, *scr) = rest
+        if n_big:
+            q_ref, wscr_ref, sem = scr
+        else:
+            (q_ref,) = scr
 
         sv = s_ref[...]
         tv = t_ref[...]
@@ -986,7 +999,8 @@ def _build_cube_kernel(mode, C, L, meta, filter_mode):
             gfl_ref[...] = jnp.zeros(sv.shape, jnp.float32)
 
         for lev in range(L):
-            off, wl, _ = meta[lev]
+            ent = meta_k[lev]
+            wl = ent[2]
             on0 = l0 == lev
             on1 = l1 == lev
             active = (on0 | on1) & finite
@@ -997,7 +1011,12 @@ def _build_cube_kernel(mode, C, L, meta, filter_mode):
                 sv, tv, face, wl)
             # Face rows ride tz * 6 faces per image.
             rows4 = tuple(tz[0, 0] * (6 * wl) + r for r in rows4)
-            _gather_rc(tbl_ref, rows4, cols4, off, wl, active, C, q_ref)
+            if ent[0] == "hbm":
+                _gather_big(big_refs[ent[1]], rows4, cols4, ent[3],
+                            active, C, q_ref, wscr_ref, sem)
+            else:
+                _gather_rc(tbl_ref, rows4, cols4, ent[1], wl, active, C,
+                           q_ref)
 
             # Average-of-3 substitution for missing cube corners
             # (texture_kernel.cu:591-639): q'_i = ok ? q : avg(ok q).
@@ -1050,7 +1069,27 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
     rows_p = N // LANE
     assert rows_p % BLKR == 0
 
-    tbl3 = _prep_table(flat_cm)
+    # Big cube levels live in HBM (windowed gather), same split rule
+    # as the 2D sampler; rows carry (tz*6 + face) * w.
+    NT = flat_cm.shape[1]
+    split = _split_levels(meta, L, C, NT)
+    bigs = []
+    meta_k = []
+    for lev in range(L):
+        off, wl, _ = meta[lev]
+        if lev < split:
+            nxt = meta[lev + 1][0] if lev + 1 < L else NT
+            bh = (nxt - off) // wl
+            wlp = _cdiv(wl, LANE) * LANE
+            blk = flat_cm[:, off:nxt].reshape(C, bh, wl)
+            if wlp != wl:
+                blk = jnp.pad(blk, ((0, 0), (0, 0), (0, wlp - wl)))
+            bigs.append(blk.reshape(C, bh, wlp // LANE, LANE))
+            meta_k.append(("hbm", len(bigs) - 1, wl, wlp))
+        else:
+            meta_k.append(("vmem", off - meta[split][0], wl))
+
+    tbl3 = _prep_table(flat_cm[:, meta[split][0]:])
     HI = tbl3.shape[1]
 
     args = [_flatpad(a, rows_p) for a in (s, t, flevel)]
@@ -1066,8 +1105,9 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
                              memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((C, HI, LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
+    big_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
-    in_specs = [tbl_spec] + [flat_spec] * 6
+    in_specs = [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 6
     if mode == "bwd":
         in_specs.append(chan_spec)
         out_specs = [flat_spec] * 3
@@ -1076,16 +1116,22 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
         out_specs = [chan_spec]
         out_shape = [jax.ShapeDtypeStruct((C, rows_p, LANE), jnp.float32)]
 
-    kernel = _build_cube_kernel(mode, C, L, meta, filter_mode)
+    scratch = [pltpu.VMEM((4 * C, BLKR, LANE), jnp.float32)]
+    if bigs:
+        scratch += [pltpu.VMEM((C, _WIN_ROWS, LANE), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())]
+
+    kernel = _build_cube_kernel(mode, C, L, tuple(meta_k), filter_mode,
+                                n_big=len(bigs))
     outs = pl.pallas_call(
         kernel,
         grid=(rows_p // BLKR,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((4 * C, BLKR, LANE), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(tbl3, *args)
+    )(tbl3, *bigs, *args)
 
     def unflat(a):
         return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]

@@ -182,6 +182,34 @@ def test_cube_fused_minibatch_tex():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_cube_fused_big_face_windowed():
+    """Cube pyramids past the VMEM budget: big face levels gather
+    through HBM windowed DMA (forced by shrinking the budget)."""
+    from nvdiffrast_tpu.ops import texture_pallas as tp
+    tex, uv, uv_da = _cube_case(seed=3, H=13, W=15, fw=32)
+
+    def loss(t, u, impl):
+        o = texture(t, u, uv_da=uv_da, filter_mode="linear-mipmap-linear",
+                    boundary_mode="cube", impl=impl)
+        return jnp.sum(o ** 2 + 0.2 * o)
+
+    fx = loss(tex, uv, "xla")
+    gx = jax.grad(loss, argnums=(0, 1))(tex, uv, "xla")
+    orig = tp._MAX_VMEM_TABLE
+    try:
+        # 6x32x32x3 top level (18k floats) overflows an 8k budget.
+        tp._MAX_VMEM_TABLE = 1 << 13
+        fp = loss(tex, uv, "pallas_interpret")
+        np.testing.assert_allclose(float(fp), float(fx), rtol=1e-5)
+        gp = jax.grad(loss, argnums=(0, 1))(tex, uv, "pallas_interpret")
+    finally:
+        tp._MAX_VMEM_TABLE = orig
+    for n, a, b in zip(("g_tex", "g_uv"), gx, gp):
+        assert float(jnp.abs(a).sum()) > 0, n
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4, err_msg=n)
+
+
 def test_cube_fused_gradient_parity():
     tex, uv, uv_da = _cube_case(seed=2, H=13, W=15)
 
