@@ -252,7 +252,10 @@ def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False,
     out = out + _roll_next_last(unflat(negy), W)
     out = out.T.reshape(B, H, W, C)
     # Residuals stay in the kernel's padded tile order; the fused
-    # backward consumes them directly (padding lanes carry al = 0).
+    # backward consumes them directly. NOTE: tile padding replicates
+    # edge pixels, so padding lanes CAN carry al != 0 — every consumer
+    # must strip padding (tile_unorder) before anything that sums or
+    # scatters, as the backward does.
     res = tuple(a.reshape(rows_p * LANE) for a in (al0, ax0, al1, ax1))
     return out, res
 

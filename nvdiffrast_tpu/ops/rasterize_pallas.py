@@ -96,10 +96,15 @@ def _pixel_aabb(sub, ok, H, W, y0, Hf):
     px = jnp.clip((x / w + 1.0) * (W * 0.5) - 0.5, -1e9, 1e9)
     py = jnp.clip((y / w + 1.0) * (Hf * 0.5) - 0.5
                   - jnp.asarray(y0, jnp.float32), -1e9, 1e9)
-    xmin = jnp.min(px, axis=-1)
-    xmax = jnp.max(px, axis=-1)
-    ymin = jnp.min(py, axis=-1)
-    ymax = jnp.max(py, axis=-1)
+    # Half-pixel guard band: binning boxes come from f32-rounded
+    # projected (clip-polygon) vertices while coverage is the exact
+    # affine edge + cut test, so a rounding sliver could otherwise bin
+    # away a covered pixel at a tile/slab boundary. Expansion only
+    # loosens group/tile-level candidate tests (conservative).
+    xmin = jnp.min(px, axis=-1) - 0.5
+    xmax = jnp.max(px, axis=-1) + 0.5
+    ymin = jnp.min(py, axis=-1) - 0.5
+    ymax = jnp.max(py, axis=-1) + 0.5
     onscreen = ((xmax >= -0.5) & (xmin <= W - 0.5) &
                 (ymax >= -0.5) & (ymin <= H - 0.5))
     ok = ok & onscreen
@@ -111,12 +116,12 @@ def _pixel_aabb(sub, ok, H, W, y0, Hf):
 
 
 def _sort_records(records, aabb, nty, ntx, tile_w):
-    """Locality-sort records; emit per-group and per-chunk AABBs.
+    """Locality-sort records; emit per-group AABBs.
 
-    records: [S, 32]; aabb: tuple of [S] arrays.
+    records: [S, 16]; aabb: tuple of [S] arrays.
 
-    Returns (records_sorted [S, 32], gaabb [S/GROUP, 4],
-    caabb [S/CHUNK-ish computed by caller via reshape]).
+    Returns (records_sorted [S, 16], gaabb [S/GROUP, 4]); the caller
+    derives per-chunk AABBs by reshaping gaabb.
     """
     xmin, ymin, xmax, ymax, ok = aabb
     _INT32_MAX = jnp.iinfo(jnp.int32).max

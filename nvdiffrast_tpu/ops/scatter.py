@@ -256,7 +256,8 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
     return out[:num_rows]
 
 
-def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
+def scatter_add_by_id(ids, vals_t, num_rows, method="auto",
+                      coherent=False):
     """out[r, k] = sum over i with ids[i] == r of vals_t[k, i].
 
     Args:
@@ -265,6 +266,12 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
       num_rows: R, static.
       method: 'auto' | 'onehot' | 'pallas' | 'pallas_interpret' |
         'scatter'.
+      coherent: caller's promise that ids are spatially sorted-ish
+        (nearby stream positions hit nearby rows — true for every
+        rasterized-pixel gradient stream). Required for 'auto' to pick
+        the row-blocked Pallas path on tables past the single-block
+        accumulator budget: with random ids every chunk's id window
+        spans every row block and the window sweep degenerates.
 
     Returns:
       [R, K] float32.
@@ -279,11 +286,15 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto"):
         F *= 2
 
     def pallas_ok():
+        if num_rows * K <= _PALLAS_MAX_ACC:
+            return True  # single-block: window sweep bounds the cost
+        if not coherent:
+            return False
         FK = F * K
         QR = max(_cdiv(_cdiv(num_rows, F), _QW) * _QW, _QW)
         QRB = min(QR, max(_PALLAS_MAX_ACC // FK // _QW, 1) * _QW)
         NB = _cdiv(QR, QRB)
-        return NB == 1 or NB * _cdiv(N, _P_CHUNK) <= _SCAT_REMAP_MAX
+        return NB * _cdiv(N, _P_CHUNK) <= _SCAT_REMAP_MAX
 
     if method == "auto":
         if (jax.default_backend() == "tpu"

@@ -41,13 +41,12 @@ _MAX_VMEM_TABLE = 1 << 21  # pyramid floats kept in VMEM (8 MB f32)
 _MAX_CHANNELS = 8
 _MIN_N = 1 << 16  # below this XLA gather overhead is acceptable
 # Large-texture window: pyramid levels that don't fit the VMEM table
-# stay in HBM laid out [C, B*h, w/128, 128]; per (row-window,
-# col-window) touched by a pixel block the kernel DMAs a
-# _WIN_ROWS x (_WIN_CHUNKS*128) texel window into VMEM scratch and
-# gathers locally. uvs are image-tile coherent, so a 64x128 pixel
-# block touches a handful of windows per level.
+# stay in HBM laid out [C, B*h, w/128, 128]; per (_WIN_ROWS-row window
+# x 128-lane column chunk) touched by a pixel block the kernel DMAs a
+# _WIN_ROWS x 128 texel window into VMEM scratch and gathers locally.
+# uvs are image-tile coherent, so a 64x128 pixel block touches a
+# handful of windows per level.
 _WIN_ROWS = 8
-_WIN_CHUNKS = 2
 
 
 def _cdiv(a, b):
@@ -472,12 +471,11 @@ def _gather_big(bref, rows4, cols4, wlp, active, C, q_ref, wscr_ref, sem):
     coherent, so a 64x128 pixel block touches a handful of windows —
     traffic ~= the block's texel footprint. `rows4` are global row
     coordinates (minibatch / cube-face terms folded in by the caller);
-    `cols4` are in [0, wl). Row windows reuse _gather_rc's
-    extreme-cluster split (revisits are safe: corner selects are
-    idempotent); column chunks are any-hit guarded, so wrap-seam /
-    face-hopping poisoning costs only empty loop steps. The reference
-    leans on hardware texture caches for the same locality
-    (csrc/common/texture_kernel.cu:368-472).
+    `cols4` are in [0, wl). BOTH axes use _gather_rc's extreme-cluster
+    split (background uv=(0,0) in wrap mode poisons the row AND column
+    intervals; revisits are safe: corner selects are idempotent) plus
+    any-hit guards per step. The reference leans on hardware texture
+    caches for the same locality (csrc/common/texture_kernel.cu:368-472).
     """
     chs4 = tuple(cc >> 7 for cc in cols4)
     los = tuple(cc & 127 for cc in cols4)
@@ -486,34 +484,40 @@ def _gather_big(bref, rows4, cols4, wlp, active, C, q_ref, wscr_ref, sem):
     big = jnp.int32(1 << 30)
     shape = cols4[0].shape
 
-    def mmin4(vals):
+    def mmin4(vals, act):
         m = jnp.minimum(jnp.minimum(vals[0], vals[1]),
                         jnp.minimum(vals[2], vals[3]))
-        return jnp.min(jnp.where(active, m, big))
+        return jnp.min(jnp.where(act, m, big))
 
-    def mmax4(vals):
+    def mmax4(vals, act):
         m = jnp.maximum(jnp.maximum(vals[0], vals[1]),
                         jnp.maximum(vals[2], vals[3]))
-        return jnp.max(jnp.where(active, m, -1))
+        return jnp.max(jnp.where(act, m, -1))
 
-    rmin = mmin4(rows4)
-    rmax = mmax4(rows4)
-    chmin = mmin4(chs4)
-    chmax = mmax4(chs4)
+    def interior(vals4, vlo, vhi):
+        # Window indices of values strictly inside (vlo, vhi).
+        lo2 = []
+        hi2 = []
+        for vv, win in vals4:
+            inr = active & (vv > vlo) & (vv < vhi)
+            lo2.append(jnp.where(inr, win, big))
+            hi2.append(jnp.where(inr, win, -1))
+        return (jnp.min(jnp.minimum(jnp.minimum(lo2[0], lo2[1]),
+                                    jnp.minimum(lo2[2], lo2[3]))),
+                jnp.max(jnp.maximum(jnp.maximum(hi2[0], hi2[1]),
+                                    jnp.maximum(hi2[2], hi2[3]))))
+
+    rmin = mmin4(rows4, active)
+    rmax = mmax4(rows4, active)
+    cmin = mmin4(cols4, active)
+    cmax = mmax4(cols4, active)
     any_act = rmax >= 0
     w_first = jnp.where(any_act, rmin // WR, 0)
     w_last = jnp.where(any_act, rmax // WR, 0)
-    # Strictly-interior row windows (extremes visited explicitly).
-    lo2 = []
-    hi2 = []
-    for rr in rows4:
-        inr = active & (rr > rmin) & (rr < rmax)
-        lo2.append(jnp.where(inr, rr // WR, big))
-        hi2.append(jnp.where(inr, rr // WR, -1))
-    wmin2 = jnp.min(jnp.minimum(jnp.minimum(lo2[0], lo2[1]),
-                                jnp.minimum(lo2[2], lo2[3])))
-    wmax2 = jnp.max(jnp.maximum(jnp.maximum(hi2[0], hi2[1]),
-                                jnp.maximum(hi2[2], hi2[3])))
+    wmin2, wmax2 = interior([(r, r // WR) for r in rows4], rmin, rmax)
+    ch_first = jnp.where(any_act, cmin >> 7, 0)
+    ch_last = jnp.where(any_act, cmax >> 7, 0)
+    chmin2, chmax2 = interior([(c, c >> 7) for c in cols4], cmin, cmax)
 
     def wbody(rw, carry):
         # Clamped start keeps the static-size window in range even
@@ -555,7 +559,13 @@ def _gather_big(bref, rows4, cols4, wlp, active, C, q_ref, wscr_ref, sem):
 
             return carry2
 
-        jax.lax.fori_loop(chmin, chmax + 1, cbody, 0)
+        cbody(ch_first, 0)
+
+        @pl.when(ch_last != ch_first)
+        def _last_ch():
+            cbody(ch_last, 0)
+
+        jax.lax.fori_loop(chmin2, chmax2 + 1, cbody, 0)
         return carry
 
     for k in range(4 * C):
@@ -851,7 +861,7 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
                 axis=0))  # [2C, Np], du-major
     g_ext = scatter_add_by_id(
         jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
-        NTe).T  # [2C, NTe]
+        NTe, coherent=True).T  # [2C, NTe] (tile-ordered uvs -> sorted-ish)
     g_flat = fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C)
 
     return (g_flat, gu, gv, gfl, None)
@@ -1227,7 +1237,7 @@ def _sample_cube_bwd(meta, L, filter_mode, shape, interpret, saved, dy):
             vals_parts.append(dyt * (w4s[corner] * lw)[None, :])
     g_flat = scatter_add_by_id(
         jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
-        NT).T  # [C, NT]
+        NT, coherent=True).T  # [C, NT] (tile-ordered uvs -> sorted-ish)
 
     def int0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
