@@ -99,13 +99,13 @@ def main(with_texture=True):
     uvv = jnp.asarray(uvw)
 
     def tex_loss(pos_clip, tex):
-        rast, rast_db = rasterize(None, pos_clip, tri, (RES, RES),
-                                  grad_db=True)
-        uv, uv_da = interpolate(uvv[None], rast, cidx, rast_db,
-                                diff_attrs="all")
-        img = texture(tex, uv, uv_da=uv_da,
-                      filter_mode="linear-mipmap-linear")
-        img = antialias(img, rast, pos_clip, tri)
+        # Fused flat-boundary textured pipeline (ops/pipeline_tex.py):
+        # same computation as rasterize(grad_db) + interpolate(uv +
+        # uv_da) + texture(mip) + antialias, parity-tested in
+        # tests/test_pipeline_tex.py.
+        from nvdiffrast_tpu.ops.pipeline_tex import render_pipeline_textured
+        img = render_pipeline_textured(pos_clip, tri, uvv, tex, (RES, RES),
+                                       uv_tri=cidx)
         return jnp.mean(img ** 2)
 
     tstep = jax.jit(jax.grad(tex_loss, argnums=(0, 1)))

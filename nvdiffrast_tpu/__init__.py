@@ -21,6 +21,7 @@ from .ops.interpolate import interpolate
 from .ops.texture import texture, texture_construct_mip, TextureMipWrapper
 from .ops.antialias import antialias, antialias_construct_topology_hash, TopologyHashWrapper
 from .ops.pipeline import render_pipeline
+from .ops.pipeline_tex import render_pipeline_textured
 from .ops.coord import triidx_to_float, float_to_triidx
 from .utils.log import get_log_level, set_log_level
 
@@ -38,6 +39,7 @@ __all__ = [
     "antialias_construct_topology_hash",
     "TopologyHashWrapper",
     "render_pipeline",
+    "render_pipeline_textured",
     "triidx_to_float",
     "float_to_triidx",
     "get_log_level",

@@ -598,6 +598,62 @@ def _antialias_prim_bwd(pos_gradient_boost, impl, full_height, saved, dy):
 _antialias_prim.defvjp(_antialias_prim_fwd, _antialias_prim_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Flat-boundary primitive (fused textured pipeline): consumes
+# channel-major color + the rasterizer's flat id/depth channels and
+# emits the final NHWC image (AA is the last pipeline stage).
+# Instance mode only.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def antialias_flat(color_cm, idf, zw, pos, tri, op_table, shape, boost,
+                   impl):
+    """color_cm: [C, N]; idf, zw: flat [N] rast channels; shape:
+    static (B, H, W, C). Returns [B, H, W, C]."""
+    return _aa_flat_fwd(color_cm, idf, zw, pos, tri, op_table, shape,
+                        boost, impl)[0]
+
+
+def _aa_flat_fwd(color_cm, idf, zw, pos, tri, op_table, shape, boost,
+                 impl):
+    from . import antialias_pallas as ap
+
+    B, H, W, C = shape
+    ftable, _, _R, T = _build_tables(pos, tri, op_table, True, H, W)
+    out, res = ap.aa_forward_fused_cols(
+        color_cm, idf, zw, ftable, T, True, shape,
+        interpret=(impl == "pallas_interpret"))
+    return out, (color_cm, idf, zw, pos, tri, op_table, res)
+
+
+def _aa_flat_bwd(shape, boost, impl, saved, dy):
+    from . import antialias_pallas as ap
+
+    color_cm, idf, zw, pos, tri, op_table, res = saved
+    B, H, W, C = shape
+    N = B * H * W
+    V = pos.shape[1]
+    _, btable, R, T = _build_tables(pos, tri, op_table, True, H, W)
+    g_color, rid2, gval2 = ap.aa_backward_fused_cols(
+        dy.reshape(N, C).T, color_cm, idf, btable, res, T, True, shape,
+        interpret=(impl == "pallas_interpret"))
+
+    gt = scatter_add_by_id(rid2, gval2, R).reshape(B, T, 3, 3)
+    gv = jnp.zeros(gt.shape[:-1] + (4,), jnp.float32)
+    gv = gv.at[..., 0].set(gt[..., 0])
+    gv = gv.at[..., 1].set(gt[..., 1])
+    gv = gv.at[..., 3].set(gt[..., 2])
+    g_pos = jnp.zeros((B, V, 4), jnp.float32).at[:, tri].add(
+        gv, mode="drop")
+    if boost != 1.0:
+        g_pos = g_pos * boost
+    return (g_color, jnp.zeros_like(idf), jnp.zeros_like(zw), g_pos,
+            _int_zero_ct(tri), _int_zero_ct(op_table))
+
+
+antialias_flat.defvjp(_aa_flat_fwd, _aa_flat_bwd)
+
+
 def antialias(color, rast, pos, tri, topology_hash=None,
               pos_gradient_boost=1.0, impl="auto", viewport=None):
     """Perform antialiasing.

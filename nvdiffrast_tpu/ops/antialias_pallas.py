@@ -133,20 +133,32 @@ def _grids(B, H, W, T, instance_mode, viewport=None):
 
 def aa_forward_fused(color, rast, ftable, T, instance_mode, interpret=False,
                      viewport=None):
-    """Fused AA forward.
+    """Fused AA forward (NHWC boundary).
 
-    Returns (out [B, H, W, C], residuals (al0, aux0, al1, aux1) flat [N]).
-    """
+    Returns (out [B, H, W, C], residuals (al0, aux0, al1, aux1),
+    tile-ordered)."""
+    B, H, W, C = color.shape
+    N = B * H * W
+    rflat = rast.reshape(N, 4)
+    return aa_forward_fused_cols(
+        color.reshape(N, C).T, rflat[:, 3], rflat[:, 2], ftable, T,
+        instance_mode, (B, H, W, C), interpret=interpret,
+        viewport=viewport)
+
+
+def aa_forward_fused_cols(ct, idf0, z0, ftable, T, instance_mode, shape,
+                          interpret=False, viewport=None):
+    """Fused AA forward on flat channel-major inputs.
+
+    ct: [C, N]; idf0, z0: [N] rast id/depth channels; shape: (B, H, W,
+    C). Returns (out [B, H, W, C], residuals (al0, aux0, al1, aux1)
+    flat tile-ordered)."""
     from .antialias import pair_ids, pair_alpha
 
-    B, H, W, C = color.shape
+    B, H, W, C = shape
     N = B * H * W
     BLKR = _blkr(C)
 
-    rflat = rast.reshape(N, 4)
-    idf0 = rflat[:, 3]
-    z0 = rflat[:, 2]
-    ct = color.reshape(N, C).T  # [C, N]
     fx, fy, rofs, bx, by = _grids(B, H, W, T, instance_mode, viewport)
 
     idfx, idfd = _shifts(idf0, bx, by, W)
@@ -280,23 +292,34 @@ class _Sub:
 
 def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
                       interpret=False, viewport=None):
-    """Fused AA backward.
+    """Fused AA backward (NHWC boundary)."""
+    B, H, W, C = color.shape
+    N = B * H * W
+    rflat = rast.reshape(N, 4)
+    g_color, rid2, gval2 = aa_backward_fused_cols(
+        dy.reshape(N, C).T, color.reshape(N, C).T, rflat[:, 3], btable,
+        residuals, T, instance_mode, (B, H, W, C), interpret=interpret,
+        viewport=viewport)
+    return g_color.T.reshape(B, H, W, C), rid2, gval2
 
-    Returns (g_color [B, H, W, C], rid2 [2N] int32, gval2 [9, 2N]):
-    the position-gradient reduction (MXU one-hot scatter) stays outside.
+
+def aa_backward_fused_cols(dyt, ct, idf0, btable, residuals, T,
+                           instance_mode, shape, interpret=False,
+                           viewport=None):
+    """Fused AA backward on flat channel-major inputs.
+
+    Returns (g_color [C, N] channel-major, rid2 [2N] int32,
+    gval2 [9, 2N]): the position-gradient reduction (MXU one-hot
+    scatter) stays outside.
     """
     from .antialias import decode_aux, pair_pos_grad
 
     (al0, ax0, al1, ax1) = residuals
-    B, H, W, C = color.shape
+    B, H, W, C = shape
     N = B * H * W
     BLKR = _blkr(2 * C)
 
-    rflat = rast.reshape(N, 4)
-    idf0 = rflat[:, 3]
-    ct = color.reshape(N, C).T
     Hf = viewport[1] if viewport is not None else H
-    dyt = dy.reshape(N, C).T
     fx, fy, rofs, bx, by = _grids(B, H, W, T, instance_mode, viewport)
 
     idfx, idfd = _shifts(idf0, bx, by, W)
@@ -423,7 +446,6 @@ def aa_backward_fused(dy, color, rast, btable, residuals, T, instance_mode,
     g_color = unflat(gc)  # [C, N]
     g_color = g_color + _roll_next_last(unflat(vx), 1)
     g_color = g_color + _roll_next_last(unflat(vy), W)
-    g_color = g_color.T.reshape(B, H, W, C)
 
     rid2 = jnp.concatenate([unflat(rid0), unflat(rid1)])
     gval2 = jnp.concatenate([unflat(gv0), unflat(gv1)], axis=1)

@@ -301,6 +301,103 @@ def _interpolate_prim_bwd(diff_list, instance_mode, attr_bc, impl, res, cts):
 _interpolate_prim.defvjp(_interpolate_prim_fwd, _interpolate_prim_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Flat-boundary primitive (fused textured pipeline): consumes the
+# rasterizer's flat channels directly and emits channel-major columns.
+# ---------------------------------------------------------------------------
+
+def _flat_ids(attr, idf, tri, B, HW):
+    """(rid, tbl, valid) from the flat id channel (broadcast attrs)."""
+    A = attr.shape[-1]
+    T = tri.shape[0]
+    a2d = attr[0] if attr.ndim == 3 else attr
+    tbl = a2d[tri].reshape(-1, 3 * A).T  # [3A, T]
+    R = tbl.shape[1]
+    tbl = jnp.concatenate([tbl, jnp.zeros((3 * A, 1), jnp.float32)], axis=1)
+    idbuf = coord.float_to_triidx(idf) - 1
+    valid = (idbuf >= 0) & (idbuf < T)
+    rid = jnp.where(valid, jnp.where(valid, idbuf, 0), R)
+    return rid, tbl, valid, R
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def interpolate_flat(attr, u, v, idf, tri, db01, db23, diff_list, impl):
+    """Fused interpolate on flat channels (broadcast attrs only).
+
+    Args: attr [V, A] or [1, V, A]; u, v, idf flat [N] rast channels;
+    db01/db23 the stacked [2, N] db channel pairs (dudx,dudy)/(dvdx,
+    dvdy). Returns (out [A, N], da [2D, N]) channel-major.
+    """
+    return _interp_flat_fwd(attr, u, v, idf, tri, db01, db23, diff_list,
+                            impl)[0]
+
+
+def _interp_flat_fwd(attr, u, v, idf, tri, db01, db23, diff_list, impl):
+    from . import interpolate_pallas as ip
+
+    rid, tbl, valid, R = _flat_ids(attr, idf, tri, 1, u.shape[0])
+    b0 = jnp.where(valid, u, 0.0)
+    b1 = jnp.where(valid, v, 0.0)
+    b2 = jnp.where(valid, 1.0 - u - v, 0.0)
+    D = len(diff_list)
+    db_cols = None
+    if D:
+        db_cols = tuple(jnp.where(valid, c, 0.0)
+                        for c in (db01[0], db01[1], db23[0], db23[1]))
+    A = attr.shape[-1]
+    out_cm, da_cm = ip.interp_forward_fused(
+        tbl, rid, b0, b1, b2, valid, db_cols, A, diff_list,
+        interpret=(impl == "pallas_interpret"))
+    return (out_cm, da_cm), (attr, u, v, idf, tri, db01, db23)
+
+
+def _interp_flat_bwd(diff_list, impl, res, cts):
+    from . import interpolate_pallas as ip
+    from .scatter import scatter_add_by_id
+
+    attr, u, v, idf, tri, db01, db23 = res
+    gy_cm, gda_cm = cts
+    rid, tbl, valid, R = _flat_ids(attr, idf, tri, 1, u.shape[0])
+    b0 = jnp.where(valid, u, 0.0)
+    b1 = jnp.where(valid, v, 0.0)
+    b2 = jnp.where(valid, 1.0 - u - v, 0.0)
+    D = len(diff_list)
+    db_cols = None
+    if D:
+        db_cols = tuple(jnp.where(valid, c, 0.0)
+                        for c in (db01[0], db01[1], db23[0], db23[1]))
+    A = attr.shape[-1]
+    T = tri.shape[0]
+    gy_cols = [gy_cm[a] for a in range(A)]
+    gda_cols = [gda_cm[c] for c in range(2 * D)] if D else None
+
+    grast01, gval, gdb = ip.interp_backward_fused(
+        tbl, rid, b0, b1, b2, valid, db_cols, gy_cols, gda_cols, A,
+        diff_list, interpret=(impl == "pallas_interpret"))
+
+    gt = scatter_add_by_id(rid, gval, R)  # [T, 3A]
+    Va = attr.shape[-2]
+    g2 = jnp.zeros((Va, A), jnp.float32).at[tri].add(
+        gt.reshape(T, 3, A), mode="drop")
+    g_attr = g2[None] if attr.ndim == 3 else g2
+
+    # d(b2)/du = d(b2)/dv = -1 folded into the u, v cotangents by the
+    # kernel (bary grads arrive already chain-ruled to rast channels).
+    g_u = grast01[0]
+    g_v = grast01[1]
+    zero = jnp.zeros_like(g_u)
+    if D:
+        g_db01 = jnp.stack([gdb[0], gdb[1]])
+        g_db23 = jnp.stack([gdb[2], gdb[3]])
+    else:
+        g_db01 = jnp.zeros_like(db01)
+        g_db23 = jnp.zeros_like(db23)
+    return (g_attr, g_u, g_v, zero, _int_zero_ct(tri), g_db01, g_db23)
+
+
+interpolate_flat.defvjp(_interp_flat_fwd, _interp_flat_bwd)
+
+
 def interpolate(attr, rast, tri, rast_db=None, diff_attrs=None,
                 impl="auto"):
     """Interpolate vertex attributes.

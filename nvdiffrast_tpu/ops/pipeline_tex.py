@@ -1,0 +1,144 @@
+"""Fused textured render pipeline (TPU extension).
+
+``render_pipeline_textured`` renders the reference's textured workload
+(earth.py / envphong.py shape: rasterize(grad_db) + interpolate(uv,
+diff_attrs='all') + texture(mip) + antialias, e.g.
+samples/torch/earth.py:44-61) with every inter-op boundary carried as
+FLAT channel-major buffers:
+
+* no NHWC interleave of rast/rast_db and no re-flattening per op —
+  the rasterizer's flat channels feed interpolate/antialias directly;
+* no [N, 2]/[N, 4] uv/uv_da images between interpolate and texture —
+  exactly the tiny-trailing-dim layouts the TPU tile-pads by 32-64x
+  in HBM (see scatter.py's layout rule);
+* the only NHWC tensor materialized is the final antialiased image.
+
+Semantics are exactly::
+
+    rast, rast_db = rasterize(ctx, pos, tri, res, grad_db=True)
+    uv, uv_da = interpolate(uv_attr, rast, uv_tri, rast_db,
+                            diff_attrs='all')
+    color = texture(tex, uv, uv_da=uv_da, filter_mode=..., ...)
+    out = antialias(color, rast, pos, tri)
+
+with gradients to ``pos``, ``uv_attr`` and ``tex``. Unsupported
+configurations transparently fall back to that composed-op chain.
+
+Each stage keeps its own custom_vjp (rasterize_flat /
+interpolate_flat / sample_fused / antialias_flat) and the glue is
+plain differentiable JAX, so JAX AD chains the hand-written backwards
+without a pipeline-level vjp.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
+                             uv_tri=None, filter_mode="linear-mipmap-linear",
+                             boundary_mode="wrap", max_mip_level=-1,
+                             pos_gradient_boost=1.0, impl="auto"):
+    """Fused rasterize + uv-interpolate + texture + antialias.
+
+    Args:
+      pos: [B, V, 4] clip-space positions (instance mode only).
+      tri: [T, 3] int32.
+      uv_attr: [Vu, 2] (or [1, Vu, 2]) texture coordinates.
+      tex: [D, th, tw, C] texture (D == 1 or B).
+      resolution: (H, W).
+      uv_tri: [T, 3] int32 uv indices (defaults to `tri`).
+      filter_mode / boundary_mode / max_mip_level: as in `texture`
+        (2D modes; 'cube' falls back to composed ops).
+      pos_gradient_boost: antialias position-gradient multiplier.
+      impl: 'auto' | 'pallas' | 'pallas_interpret' | 'xla' ('xla'
+        always takes the composed fallback).
+
+    Returns:
+      [B, H, W, C] antialiased textured image.
+    """
+    from . import antialias_pallas as ap
+    from . import interpolate_pallas as ip
+    from . import texture_pallas as tp
+    from .antialias import antialias, antialias_flat
+    from .interpolate import interpolate, interpolate_flat
+    from .rasterize import rasterize, rasterize_flat
+    from .texture import (_mip_level_from_footprint_cols, _pack_pyramid,
+                          _static_meta, build_mip_stack, texture)
+    from .topology import build_opposite_table
+
+    pos = jnp.asarray(pos, jnp.float32)
+    tri = jnp.asarray(tri, jnp.int32)
+    uv_attr = jnp.asarray(uv_attr, jnp.float32)
+    tex = jnp.asarray(tex, jnp.float32)
+    if uv_tri is None:
+        uv_tri = tri
+    else:
+        uv_tri = jnp.asarray(uv_tri, jnp.int32)
+
+    H, W = resolution
+    instance_mode = pos.ndim == 3
+    B = pos.shape[0] if instance_mode else 0
+    T = tri.shape[0]
+    N = B * H * W
+    C = tex.shape[-1]
+    D = tex.shape[0]
+
+    # Shared mip pyramid (differentiable; gradients pull back to tex).
+    use_mip = "mipmap" in filter_mode
+    levels = [tex] + (build_mip_stack(tex, max_mip_level, False)
+                      if use_mip else [])
+    smeta, n_texels = _static_meta(levels)
+    L = len(levels)
+
+    want = (impl in ("pallas", "pallas_interpret")
+            or (impl == "auto" and jax.default_backend() == "tpu"))
+    fused_ok = (
+        want and instance_mode and tex.ndim == 4
+        and uv_attr.shape[-1] == 2
+        and (uv_attr.ndim == 2 or uv_attr.shape[0] == 1)
+        and D in (1, B)
+        and filter_mode in ("linear", "linear-mipmap-nearest",
+                            "linear-mipmap-linear")
+        and tp.supported(C, n_texels, N, False, boundary_mode, force=True,
+                         meta=smeta, L=L)
+        and ip.supported(2, T, N, force=True)
+        and ap.supported(C, B * T))
+
+    if not fused_ok:
+        rast, rast_db = rasterize(None, pos, tri, resolution, grad_db=True,
+                                  impl=impl)
+        uv, uv_da = interpolate(uv_attr, rast, uv_tri, rast_db,
+                                diff_attrs="all", impl=impl)
+        img = texture(tex, uv, uv_da=uv_da, filter_mode=filter_mode,
+                      boundary_mode=boundary_mode,
+                      max_mip_level=max_mip_level, impl=impl)
+        return antialias(img, rast, pos, tri,
+                         pos_gradient_boost=pos_gradient_boost, impl=impl)
+
+    # ---- fused flat chain ----
+    u, v, zw, idf, d0, d1, d2, d3 = rasterize_flat(pos, tri, resolution,
+                                                   impl)
+    uv_cm, da_cm = interpolate_flat(
+        uv_attr, u, v, idf, uv_tri, jnp.stack([d0, d1]),
+        jnp.stack([d2, d3]), (0, 1), impl)
+
+    if use_mip:
+        flevel = _mip_level_from_footprint_cols(
+            da_cm[0], da_cm[1], da_cm[2], da_cm[3],
+            jnp.float32(tex.shape[-2]), jnp.float32(tex.shape[-3]))
+        flevel = jnp.clip(flevel, 0.0, float(L - 1))
+    else:
+        flevel = jnp.zeros((N,), jnp.float32)
+
+    flat, _meta = _pack_pyramid(levels, False)
+    if D == 1:
+        tz = jnp.zeros((N,), jnp.int32)
+    else:
+        tz = jnp.arange(N, dtype=jnp.int32) // (H * W)
+    out_cm = tp.sample_fused(
+        flat.T, uv_cm[0], uv_cm[1], flevel, tz, smeta, L, boundary_mode,
+        filter_mode, (B, H, W), impl == "pallas_interpret")
+
+    op_table = build_opposite_table(tri)
+    return antialias_flat(out_cm, idf, zw, pos, tri, op_table,
+                          (B, H, W, C), pos_gradient_boost, impl)

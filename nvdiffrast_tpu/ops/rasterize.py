@@ -515,6 +515,22 @@ def _shade(pos, tri, idbuf, resolution, instance_mode, viewport=None):
 
 def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
                         enable_db, viewport=None):
+    """NHWC wrapper over _rasterize_bwd_cols (standalone-op boundary)."""
+    B = out.shape[0]
+    H, W = resolution
+    N = B * H * W
+    dy2 = dy.reshape(N, 4)
+    ddb_cols = None
+    if enable_db:
+        ddb2 = ddb.reshape(N, 4)
+        ddb_cols = (ddb2[:, 0], ddb2[:, 1], ddb2[:, 2], ddb2[:, 3])
+    return _rasterize_bwd_cols(
+        pos, tri, out[..., 3].reshape(N), dy2[:, 0], dy2[:, 1], ddb_cols,
+        resolution, B, instance_mode, viewport=viewport)
+
+
+def _rasterize_bwd_cols(pos, tri, idf, dyx, dyy, ddb_cols, resolution, B,
+                        instance_mode, viewport=None):
     """Vertex position gradients (re-derivation of rasterize.cu:119-273).
 
     TPU-shaped data flow: per-pixel state lives in flat [N] SoA vectors
@@ -522,11 +538,14 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     vertex data is one row-gather from a [T(+1), 9] table, and the
     pixel->vertex reduction is a two-level deterministic scatter
     (pixels -> triangle table on the MXU, then triangles -> vertices).
+
+    Flat boundary: `idf` is the rast id channel [N]; `dyx`/`dyy` the
+    bary cotangents [N]; `ddb_cols` the 4 db cotangent columns or None.
     """
     from .scatter import scatter_add_by_id
 
     H, W = resolution
-    B = out.shape[0]
+    enable_db = ddb_cols is not None
     T = tri.shape[0]
     if instance_mode:
         V = pos.shape[1]
@@ -543,7 +562,7 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     R = tbl.shape[1]
     tbl = jnp.concatenate([tbl, jnp.zeros((9, 1), jnp.float32)], axis=1)
 
-    idbuf = coord.float_to_triidx(out[..., 3]).reshape(N) - 1
+    idbuf = coord.float_to_triidx(idf).reshape(N) - 1
     valid = idbuf >= 0
     tid = jnp.where(valid, idbuf, 0)
     if instance_mode:
@@ -587,10 +606,6 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     b0 = a0 * iw
     b1 = a1 * iw
 
-    dy2 = dy.reshape(N, 4)
-    dyx = dy2[:, 0]
-    dyy = dy2[:, 1]
-
     gb0 = dyx * iw
     gb1 = dyy * iw
     gbb = gb0 * b0 + gb1 * b1
@@ -605,8 +620,7 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
     gp2w = -fx * gp2x - fy * gp2y
 
     if enable_db:
-        ddb2 = ddb.reshape(N, 4)
-        d0, d1, d2, d3 = ddb2[:, 0], ddb2[:, 1], ddb2[:, 2], ddb2[:, 3]
+        d0, d1, d2, d3 = ddb_cols
         dfxdX = (2.0 / W) * iw
         dfydY = (2.0 / Hf) * iw
         d0 = d0 * dfxdX
@@ -788,6 +802,48 @@ def _rasterize_prim_bwd(resolution, grad_db, chunk, impl, full_height, res,
 
 
 _rasterize_prim.defvjp(_rasterize_prim_fwd, _rasterize_prim_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flat-boundary primitive (fused textured pipeline). Emits per-channel
+# flat [N] buffers — no NHWC interleave, no [N, small] tile-padding —
+# for callers that chain further fused ops (ops/pipeline_tex.py).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def rasterize_flat(pos, tri, resolution, impl):
+    """Fused rasterize, flat channel boundary (instance mode only).
+
+    Returns 8 flat [B*H*W] float32 buffers:
+    (u, v, zw, idf, dudx, dudy, dvdx, dvdy). Differentiable w.r.t.
+    `pos` through the (u, v) and db channels.
+    """
+    return _rasterize_flat_fwd(pos, tri, resolution, impl)[0]
+
+
+def _rasterize_flat_fwd(pos, tri, resolution, impl):
+    from .rasterize_pallas import rasterize_fused
+
+    H, W = resolution
+    B, _, _ = pos.shape
+    T = tri.shape[0]
+    ranges = jnp.broadcast_to(jnp.array([[0, T]], jnp.int32), (B, 2))
+    outs = rasterize_fused(pos, tri, resolution, ranges, emit_db=True,
+                           flat=True, interpret=(impl == "pallas_interpret"))
+    flat = tuple(a.reshape(B * H * W) for a in outs[:8])
+    return flat, (pos, tri, flat[3])
+
+
+def _rasterize_flat_bwd(resolution, impl, res, cts):
+    pos, tri, idf = res
+    du, dv, _dzw, _didf, g0, g1, g2, g3 = cts
+    g_pos = _rasterize_bwd_cols(
+        pos, tri, idf, du, dv, (g0, g1, g2, g3), resolution, pos.shape[0],
+        instance_mode=True)
+    return (g_pos, _int_zero_ct(tri))
+
+
+rasterize_flat.defvjp(_rasterize_flat_fwd, _rasterize_flat_bwd)
 
 
 # ---------------------------------------------------------------------------

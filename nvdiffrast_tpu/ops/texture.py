@@ -503,10 +503,16 @@ def _sqrt_grad_safe_jvp(primals, tangents):
 
 
 def _mip_level_from_footprint(uv_da, tex_w, tex_h):
-    dsdx = uv_da[..., 0] * tex_w
-    dsdy = uv_da[..., 1] * tex_w
-    dtdx = uv_da[..., 2] * tex_h
-    dtdy = uv_da[..., 3] * tex_h
+    return _mip_level_from_footprint_cols(
+        uv_da[..., 0], uv_da[..., 1], uv_da[..., 2], uv_da[..., 3],
+        tex_w, tex_h)
+
+
+def _mip_level_from_footprint_cols(da0, da1, da2, da3, tex_w, tex_h):
+    dsdx = da0 * tex_w
+    dsdy = da1 * tex_w
+    dtdx = da2 * tex_h
+    dtdy = da3 * tex_h
     A = dsdx * dsdx + dtdx * dtdx
     B = dsdy * dsdy + dtdy * dtdy
     C = dsdx * dsdy + dtdx * dtdy

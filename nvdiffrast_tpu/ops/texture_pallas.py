@@ -737,7 +737,7 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
                              memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((C, HI, LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-    big_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    big_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     in_specs = [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 4
     if mode == "bwd":
@@ -1115,7 +1115,7 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
                              memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((C, HI, LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-    big_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    big_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     in_specs = [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 6
     if mode == "bwd":
