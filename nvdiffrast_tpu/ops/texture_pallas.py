@@ -3,8 +3,10 @@
 The XLA path (texture.py) pays ~9-25 ns per texel lookup in XLA's
 gather lowering — at 2048² trilinear that is 8 corner gathers of 4M
 rows plus per-pixel mip-metadata gathers, ~100-200 ms. This kernel
-keeps the whole flat-packed mip pyramid resident in VMEM
-(channel-major) and resolves all corners of all levels in one pass:
+keeps the flat-packed mip pyramid resident in VMEM (channel-major) —
+levels past the VMEM budget stay in HBM and are gathered through
+windowed DMA (_gather_big) — and resolves all corners of all levels
+in one pass:
 
 * Per pixel block, for each *static* mip level, the kernel computes
   the 4 corner texel ids in-register and sweeps only the 128-lane
