@@ -43,12 +43,13 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
     Args:
       pos: [B, V, 4] clip-space positions (instance mode only).
       tri: [T, 3] int32.
-      uv_attr: [Vu, 2] (or [1, Vu, 2]) texture coordinates.
-      tex: [D, th, tw, C] texture (D == 1 or B).
+      uv_attr: [Vu, 2] (or [1, Vu, 2]) texture coordinates — or
+        [Vu, 3] direction vectors for boundary_mode='cube'.
+      tex: [D, th, tw, C] texture, or [D, 6, fw, fw, C] cube map
+        (D == 1 or B).
       resolution: (H, W).
       uv_tri: [T, 3] int32 uv indices (defaults to `tri`).
-      filter_mode / boundary_mode / max_mip_level: as in `texture`
-        (2D modes; 'cube' falls back to composed ops).
+      filter_mode / boundary_mode / max_mip_level: as in `texture`.
       pos_gradient_boost: antialias position-gradient multiplier.
       impl: 'auto' | 'pallas' | 'pallas_interpret' | 'xla' ('xla'
         always takes the composed fallback).
@@ -62,7 +63,8 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
     from .antialias import antialias, antialias_flat
     from .interpolate import interpolate, interpolate_flat
     from .rasterize import rasterize, rasterize_flat
-    from .texture import (_mip_level_from_footprint_cols, _pack_pyramid,
+    from .texture import (_cube_faceid, _cube_project, _cube_st_da_cols,
+                          _mip_level_from_footprint_cols, _pack_pyramid,
                           _static_meta, build_mip_stack, texture)
     from .topology import build_opposite_table
 
@@ -82,10 +84,12 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
     N = B * H * W
     C = tex.shape[-1]
     D = tex.shape[0]
+    cube_mode = boundary_mode == "cube"
+    A = 3 if cube_mode else 2
 
     # Shared mip pyramid (differentiable; gradients pull back to tex).
     use_mip = "mipmap" in filter_mode
-    levels = [tex] + (build_mip_stack(tex, max_mip_level, False)
+    levels = [tex] + (build_mip_stack(tex, max_mip_level, cube_mode)
                       if use_mip else [])
     smeta, n_texels = _static_meta(levels)
     L = len(levels)
@@ -93,15 +97,15 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
     want = (impl in ("pallas", "pallas_interpret")
             or (impl == "auto" and jax.default_backend() == "tpu"))
     fused_ok = (
-        want and instance_mode and tex.ndim == 4
-        and uv_attr.shape[-1] == 2
+        want and instance_mode and tex.ndim == (5 if cube_mode else 4)
+        and uv_attr.shape[-1] == A
         and (uv_attr.ndim == 2 or uv_attr.shape[0] == 1)
         and D in (1, B)
         and filter_mode in ("linear", "linear-mipmap-nearest",
                             "linear-mipmap-linear")
-        and tp.supported(C, n_texels, N, False, boundary_mode, force=True,
-                         meta=smeta, L=L)
-        and ip.supported(2, T, N, force=True)
+        and tp.supported(C, n_texels, N, cube_mode, boundary_mode,
+                         force=True, meta=smeta, L=L)
+        and ip.supported(A, T, N, force=True)
         and ap.supported(C, B * T))
 
     if not fused_ok:
@@ -120,24 +124,45 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
                                                    impl)
     uv_cm, da_cm = interpolate_flat(
         uv_attr, u, v, idf, uv_tri, jnp.stack([d0, d1]),
-        jnp.stack([d2, d3]), (0, 1), impl)
+        jnp.stack([d2, d3]), tuple(range(A)), impl)
 
-    if use_mip:
-        flevel = _mip_level_from_footprint_cols(
-            da_cm[0], da_cm[1], da_cm[2], da_cm[3],
-            jnp.float32(tex.shape[-2]), jnp.float32(tex.shape[-3]))
-        flevel = jnp.clip(flevel, 0.0, float(L - 1))
-    else:
-        flevel = jnp.zeros((N,), jnp.float32)
-
-    flat, _meta = _pack_pyramid(levels, False)
+    tex_w = jnp.float32(tex.shape[-2])
+    tex_h = jnp.float32(tex.shape[-3])
+    flat, _meta = _pack_pyramid(levels, cube_mode)
     if D == 1:
         tz = jnp.zeros((N,), jnp.int32)
     else:
         tz = jnp.arange(N, dtype=jnp.int32) // (H * W)
-    out_cm = tp.sample_fused(
-        flat.T, uv_cm[0], uv_cm[1], flevel, tz, smeta, L, boundary_mode,
-        filter_mode, (B, H, W), impl == "pallas_interpret")
+
+    if cube_mode:
+        finfo = _cube_faceid(uv_cm[0], uv_cm[1], uv_cm[2])
+        sc, tc, finite = _cube_project(finfo, uv_cm[0], uv_cm[1],
+                                       uv_cm[2])
+        if use_mip:
+            st4 = _cube_st_da_cols(uv_cm[0], uv_cm[1], uv_cm[2],
+                                   [da_cm[i] for i in range(6)])
+            flevel = jnp.clip(
+                _mip_level_from_footprint_cols(*st4, tex_w, tex_h),
+                0.0, float(L - 1))
+        else:
+            flevel = jnp.zeros((N,), jnp.float32)
+        cmeta = tuple((off, int(lvl.shape[-2]), int(lvl.shape[-2]))
+                      for (off, _, _), lvl in zip(smeta, levels))
+        out_cm = tp.sample_cube_fused(
+            flat.T, sc, tc, flevel, finite, finfo[0], tz, cmeta, L,
+            filter_mode, (B, H, W), impl == "pallas_interpret")
+    else:
+        if use_mip:
+            flevel = jnp.clip(
+                _mip_level_from_footprint_cols(
+                    da_cm[0], da_cm[1], da_cm[2], da_cm[3], tex_w, tex_h),
+                0.0, float(L - 1))
+        else:
+            flevel = jnp.zeros((N,), jnp.float32)
+        out_cm = tp.sample_fused(
+            flat.T, uv_cm[0], uv_cm[1], flevel, tz, smeta, L,
+            boundary_mode, filter_mode, (B, H, W),
+            impl == "pallas_interpret")
 
     op_table = build_opposite_table(tri)
     return antialias_flat(out_cm, idf, zw, pos, tri, op_table,

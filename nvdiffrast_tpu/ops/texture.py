@@ -529,6 +529,33 @@ def _mip_level_from_footprint_cols(da0, da1, da2, da3, tex_w, tex_h):
     return jnp.where(jnp.isnan(flevel), 0.0, flevel)
 
 
+def _cube_st_da_cols(x, y, z, d_cols):
+    """Column version of _cube_uv_da_to_st_da (flat pipeline).
+
+    d_cols: 6 columns (dxdX, dxdY, dydX, dydY, dzdX, dzdY). Returns 4
+    columns (dsdX, dsdY, dtdX, dtdY)."""
+    def proj(x_, y_, z_):
+        face, x_major, y_major, _zm, c = _cube_faceid(x_, y_, z_)
+        u_in = jnp.where(x_major, z_, x_)
+        v_in = jnp.where(y_major, z_, y_)
+        ok = jnp.abs(c) > 0
+        m = 0.5 / jnp.where(ok, jnp.abs(c), 1.0)
+        m0 = jnp.where((face == 0) | (face == 5), -m, m)
+        m1 = jnp.where(face == 2, m, -m)
+        okf = ok.astype(jnp.float32)
+        return u_in * m0 * okf, v_in * m1 * okf
+
+    _, (dsdX, dtdX) = jax.jvp(proj, (x, y, z),
+                              (d_cols[0], d_cols[2], d_cols[4]))
+    _, (dsdY, dtdY) = jax.jvp(proj, (x, y, z),
+                              (d_cols[1], d_cols[3], d_cols[5]))
+    cols = (dsdX, dsdY, dtdX, dtdY)
+    finite = jnp.isfinite(cols[0])
+    for c_ in cols[1:]:
+        finite = finite & jnp.isfinite(c_)
+    return tuple(jnp.where(finite, c_, 0.0) for c_ in cols)
+
+
 def _cube_uv_da_to_st_da(uv, uv_da):
     """Map d{x,y,z}/d{X,Y} to d{s,t}/d{X,Y} via the face-projection JVP.
 
