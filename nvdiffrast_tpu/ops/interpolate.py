@@ -306,8 +306,9 @@ _interpolate_prim.defvjp(_interpolate_prim_fwd, _interpolate_prim_bwd)
 # rasterizer's flat channels directly and emits channel-major columns.
 # ---------------------------------------------------------------------------
 
-def _flat_ids(attr, idf, tri, B, HW):
-    """(rid, tbl, valid) from the flat id channel (broadcast attrs)."""
+def _flat_ids(attr, idf, tri):
+    """(rid, tbl, valid, R) from the flat id channel (broadcast attrs;
+    same decoding rules as _pixel_ids' broadcast branch)."""
     A = attr.shape[-1]
     T = tri.shape[0]
     a2d = attr[0] if attr.ndim == 3 else attr
@@ -316,7 +317,7 @@ def _flat_ids(attr, idf, tri, B, HW):
     tbl = jnp.concatenate([tbl, jnp.zeros((3 * A, 1), jnp.float32)], axis=1)
     idbuf = coord.float_to_triidx(idf) - 1
     valid = (idbuf >= 0) & (idbuf < T)
-    rid = jnp.where(valid, jnp.where(valid, idbuf, 0), R)
+    rid = jnp.where(valid, idbuf, R)
     return rid, tbl, valid, R
 
 
@@ -335,7 +336,7 @@ def interpolate_flat(attr, u, v, idf, tri, db01, db23, diff_list, impl):
 def _interp_flat_fwd(attr, u, v, idf, tri, db01, db23, diff_list, impl):
     from . import interpolate_pallas as ip
 
-    rid, tbl, valid, R = _flat_ids(attr, idf, tri, 1, u.shape[0])
+    rid, tbl, valid, R = _flat_ids(attr, idf, tri)
     b0 = jnp.where(valid, u, 0.0)
     b1 = jnp.where(valid, v, 0.0)
     b2 = jnp.where(valid, 1.0 - u - v, 0.0)
@@ -357,7 +358,7 @@ def _interp_flat_bwd(diff_list, impl, res, cts):
 
     attr, u, v, idf, tri, db01, db23 = res
     gy_cm, gda_cm = cts
-    rid, tbl, valid, R = _flat_ids(attr, idf, tri, 1, u.shape[0])
+    rid, tbl, valid, R = _flat_ids(attr, idf, tri)
     b0 = jnp.where(valid, u, 0.0)
     b1 = jnp.where(valid, v, 0.0)
     b2 = jnp.where(valid, 1.0 - u - v, 0.0)

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
                              uv_tri=None, filter_mode="linear-mipmap-linear",
                              boundary_mode="wrap", max_mip_level=-1,
-                             pos_gradient_boost=1.0, impl="auto"):
+                             pos_gradient_boost=1.0, topology_hash=None,
+                             impl="auto"):
     """Fused rasterize + uv-interpolate + texture + antialias.
 
     Args:
@@ -51,6 +52,9 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
       uv_tri: [T, 3] int32 uv indices (defaults to `tri`).
       filter_mode / boundary_mode / max_mip_level: as in `texture`.
       pos_gradient_boost: antialias position-gradient multiplier.
+      topology_hash: optional `TopologyHashWrapper` (from
+        `antialias_construct_topology_hash`) so a static mesh's
+        opposite-vertex table is not rebuilt every step.
       impl: 'auto' | 'pallas' | 'pallas_interpret' | 'xla' ('xla'
         always takes the composed fallback).
 
@@ -60,12 +64,13 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
     from . import antialias_pallas as ap
     from . import interpolate_pallas as ip
     from . import texture_pallas as tp
-    from .antialias import antialias, antialias_flat
+    from .antialias import TopologyHashWrapper, antialias, antialias_flat
     from .interpolate import interpolate, interpolate_flat
-    from .rasterize import rasterize, rasterize_flat
+    from .rasterize import _check_rasterize_args, rasterize, rasterize_flat
     from .texture import (_cube_faceid, _cube_project, _cube_st_da_cols,
                           _mip_level_from_footprint_cols, _pack_pyramid,
-                          _static_meta, build_mip_stack, texture)
+                          _static_meta, build_mip_stack, dispatch_fused_cols,
+                          texture)
     from .topology import build_opposite_table
 
     pos = jnp.asarray(pos, jnp.float32)
@@ -76,6 +81,10 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
         uv_tri = tri
     else:
         uv_tri = jnp.asarray(uv_tri, jnp.int32)
+
+    # Same loud input validation as the standalone rasterize op (the
+    # fused path must not silently clamp bad indices or >2^24 meshes).
+    _check_rasterize_args(pos, tri, resolution, None)
 
     H, W = resolution
     instance_mode = pos.ndim == 3
@@ -109,22 +118,35 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
         and ap.supported(C, B * T))
 
     if not fused_ok:
-        rast, rast_db = rasterize(None, pos, tri, resolution, grad_db=True,
-                                  impl=impl)
+        rast, rast_db = rasterize(None, pos, tri, resolution,
+                                  grad_db=use_mip, impl=impl)
         uv, uv_da = interpolate(uv_attr, rast, uv_tri, rast_db,
-                                diff_attrs="all", impl=impl)
-        img = texture(tex, uv, uv_da=uv_da, filter_mode=filter_mode,
+                                diff_attrs="all" if use_mip else None,
+                                impl=impl)
+        img = texture(tex, uv, uv_da=uv_da if use_mip else None,
+                      filter_mode=filter_mode,
                       boundary_mode=boundary_mode,
                       max_mip_level=max_mip_level, impl=impl)
         return antialias(img, rast, pos, tri,
+                         topology_hash=topology_hash,
                          pos_gradient_boost=pos_gradient_boost, impl=impl)
 
     # ---- fused flat chain ----
-    u, v, zw, idf, d0, d1, d2, d3 = rasterize_flat(pos, tri, resolution,
-                                                   impl)
+    # No-mip filtering needs no pixel differentials: skip the db
+    # accumulator channels in the raster kernel and the da columns in
+    # the interp kernel entirely.
+    if use_mip:
+        u, v, zw, idf, d0, d1, d2, d3 = rasterize_flat(
+            pos, tri, resolution, impl, True)
+        db01 = jnp.stack([d0, d1])
+        db23 = jnp.stack([d2, d3])
+        diff_list = tuple(range(A))
+    else:
+        u, v, zw, idf = rasterize_flat(pos, tri, resolution, impl, False)
+        db01 = db23 = jnp.zeros((2, N), jnp.float32)
+        diff_list = ()
     uv_cm, da_cm = interpolate_flat(
-        uv_attr, u, v, idf, uv_tri, jnp.stack([d0, d1]),
-        jnp.stack([d2, d3]), tuple(range(A)), impl)
+        uv_attr, u, v, idf, uv_tri, db01, db23, diff_list, impl)
 
     tex_w = jnp.float32(tex.shape[-2])
     tex_h = jnp.float32(tex.shape[-3])
@@ -134,10 +156,13 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
     else:
         tz = jnp.arange(N, dtype=jnp.int32) // (H * W)
 
+    cube_cols = None
+    u_col = v_col = None
     if cube_mode:
         finfo = _cube_faceid(uv_cm[0], uv_cm[1], uv_cm[2])
         sc, tc, finite = _cube_project(finfo, uv_cm[0], uv_cm[1],
                                        uv_cm[2])
+        cube_cols = (sc, tc, finite, finfo[0])
         if use_mip:
             st4 = _cube_st_da_cols(uv_cm[0], uv_cm[1], uv_cm[2],
                                    [da_cm[i] for i in range(6)])
@@ -146,12 +171,8 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
                 0.0, float(L - 1))
         else:
             flevel = jnp.zeros((N,), jnp.float32)
-        cmeta = tuple((off, int(lvl.shape[-2]), int(lvl.shape[-2]))
-                      for (off, _, _), lvl in zip(smeta, levels))
-        out_cm = tp.sample_cube_fused(
-            flat.T, sc, tc, flevel, finite, finfo[0], tz, cmeta, L,
-            filter_mode, (B, H, W), impl == "pallas_interpret")
     else:
+        u_col, v_col = uv_cm[0], uv_cm[1]
         if use_mip:
             flevel = jnp.clip(
                 _mip_level_from_footprint_cols(
@@ -159,11 +180,15 @@ def render_pipeline_textured(pos, tri, uv_attr, tex, resolution,
                 0.0, float(L - 1))
         else:
             flevel = jnp.zeros((N,), jnp.float32)
-        out_cm = tp.sample_fused(
-            flat.T, uv_cm[0], uv_cm[1], flevel, tz, smeta, L,
-            boundary_mode, filter_mode, (B, H, W),
-            impl == "pallas_interpret")
+    out_cm = dispatch_fused_cols(
+        flat, smeta, levels, cube_mode, u_col, v_col, flevel, tz,
+        boundary_mode, filter_mode, (B, H, W),
+        impl == "pallas_interpret", cube_cols)
 
-    op_table = build_opposite_table(tri)
+    if topology_hash is not None:
+        assert isinstance(topology_hash, TopologyHashWrapper)
+        op_table = topology_hash.op_table
+    else:
+        op_table = build_opposite_table(tri)
     return antialias_flat(out_cm, idf, zw, pos, tri, op_table,
                           (B, H, W, C), pos_gradient_boost, impl)

@@ -810,35 +810,41 @@ _rasterize_prim.defvjp(_rasterize_prim_fwd, _rasterize_prim_bwd)
 # for callers that chain further fused ops (ops/pipeline_tex.py).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def rasterize_flat(pos, tri, resolution, impl):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rasterize_flat(pos, tri, resolution, impl, emit_db):
     """Fused rasterize, flat channel boundary (instance mode only).
 
-    Returns 8 flat [B*H*W] float32 buffers:
-    (u, v, zw, idf, dudx, dudy, dvdx, dvdy). Differentiable w.r.t.
-    `pos` through the (u, v) and db channels.
+    Returns flat [B*H*W] float32 buffers: (u, v, zw, idf) plus, when
+    emit_db, (dudx, dudy, dvdx, dvdy). Differentiable w.r.t. `pos`
+    through the (u, v) and db channels.
     """
-    return _rasterize_flat_fwd(pos, tri, resolution, impl)[0]
+    return _rasterize_flat_fwd(pos, tri, resolution, impl, emit_db)[0]
 
 
-def _rasterize_flat_fwd(pos, tri, resolution, impl):
+def _rasterize_flat_fwd(pos, tri, resolution, impl, emit_db):
     from .rasterize_pallas import rasterize_fused
 
     H, W = resolution
     B, _, _ = pos.shape
     T = tri.shape[0]
     ranges = jnp.broadcast_to(jnp.array([[0, T]], jnp.int32), (B, 2))
-    outs = rasterize_fused(pos, tri, resolution, ranges, emit_db=True,
+    outs = rasterize_fused(pos, tri, resolution, ranges, emit_db=emit_db,
                            flat=True, interpret=(impl == "pallas_interpret"))
-    flat = tuple(a.reshape(B * H * W) for a in outs[:8])
+    nc = 8 if emit_db else 4
+    flat = tuple(a.reshape(B * H * W) for a in outs[:nc])
     return flat, (pos, tri, flat[3])
 
 
-def _rasterize_flat_bwd(resolution, impl, res, cts):
+def _rasterize_flat_bwd(resolution, impl, emit_db, res, cts):
     pos, tri, idf = res
-    du, dv, _dzw, _didf, g0, g1, g2, g3 = cts
+    if emit_db:
+        du, dv, _dzw, _didf, g0, g1, g2, g3 = cts
+        ddb = (g0, g1, g2, g3)
+    else:
+        du, dv, _dzw, _didf = cts
+        ddb = None
     g_pos = _rasterize_bwd_cols(
-        pos, tri, idf, du, dv, (g0, g1, g2, g3), resolution, pos.shape[0],
+        pos, tri, idf, du, dv, ddb, resolution, pos.shape[0],
         instance_mode=True)
     return (g_pos, _int_zero_ct(tri))
 

@@ -529,6 +529,31 @@ def _mip_level_from_footprint_cols(da0, da1, da2, da3, tex_w, tex_h):
     return jnp.where(jnp.isnan(flevel), 0.0, flevel)
 
 
+def dispatch_fused_cols(flat, smeta, levels, cube_mode, u, v, flevel, tz,
+                        boundary_mode, filter_mode, shape, interpret,
+                        cube_cols=None):
+    """Route flat sampling columns to the fused Pallas sampler.
+
+    Shared by the texture op and the fused textured pipeline
+    (ops/pipeline_tex.py) so the two paths cannot diverge. For
+    cube_mode pass cube_cols = (s, t, finite, face) (already
+    projected); u/v are ignored then. The cube kernel's meta needs
+    (off, w, w) per face where smeta rows carry face blocks.
+    """
+    from . import texture_pallas as tp
+
+    L = len(levels)
+    if cube_mode:
+        sc, tc, finite, face = cube_cols
+        cmeta = tuple((off, int(lvl.shape[-2]), int(lvl.shape[-2]))
+                      for (off, _, _), lvl in zip(smeta, levels))
+        return tp.sample_cube_fused(flat.T, sc, tc, flevel, finite, face,
+                                    tz, cmeta, L, filter_mode, shape,
+                                    interpret)
+    return tp.sample_fused(flat.T, u, v, flevel, tz, smeta, L,
+                           boundary_mode, filter_mode, shape, interpret)
+
+
 def _cube_st_da_cols(x, y, z, d_cols):
     """Column version of _cube_uv_da_to_st_da (flat pipeline).
 
@@ -742,23 +767,19 @@ def _texture_impl(tex, uv, uv_da=None, mip_level_bias=None, mip=None,
                              force=(impl != "auto"),
                              meta=smeta, L=len(levels))):
         fl = flevel if flevel is not None else jnp.zeros((N,), jnp.float32)
+        cube_cols = None
+        u_col = v_col = None
         if cube_mode:
             finfo = _cube_faceid(uv[:, 0], uv[:, 1], uv[:, 2])
             sc, tc, finite = _cube_project(finfo, uv[:, 0], uv[:, 1],
                                            uv[:, 2])
-            # meta entries are (off, h, w) per level with face-block
-            # rows; the cube kernel needs (off, w, w) per face.
-            out_cm = tp.sample_cube_fused(
-                flat.T, sc, tc, fl, finite, finfo[0], tz,
-                tuple((off, int(lvl.shape[-2]), int(lvl.shape[-2]))
-                      for (off, _, _), lvl in zip(smeta, levels)),
-                len(levels), filter_mode, (B, H, W),
-                impl == "pallas_interpret")
+            cube_cols = (sc, tc, finite, finfo[0])
         else:
-            out_cm = tp.sample_fused(
-                flat.T, uv[:, 0], uv[:, 1], fl,
-                tz, smeta, len(levels), boundary_mode, filter_mode,
-                (B, H, W), impl == "pallas_interpret")
+            u_col, v_col = uv[:, 0], uv[:, 1]
+        out_cm = dispatch_fused_cols(
+            flat, smeta, levels, cube_mode, u_col, v_col, fl, tz,
+            boundary_mode, filter_mode, (B, H, W),
+            impl == "pallas_interpret", cube_cols)
         return unflatten(out_cm.T)
 
     # ---- nearest ----
