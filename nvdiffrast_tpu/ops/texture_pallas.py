@@ -528,46 +528,81 @@ def _gather_big(bref, rows4, cols4, wlp, active, C, q_ref, wscr_ref, sem):
         rw0 = jnp.minimum(rw * WR, BH - WR)
         row_in = [active & (r >= rw0) & (r < rw0 + WR) for r in rows4]
 
-        def cbody(ch, carry2):
+        def dma(ch, slot):
+            return pltpu.make_async_copy(
+                bref.at[:, pl.ds(rw0, WR), ch, :], wscr_ref.at[slot],
+                sem.at[slot])
+
+        def gather(ch, slot, sels):
+            def rbody(rloc, carry3):
+                s2 = [sels[k] & (rows4[k] - rw0 == rloc)
+                      for k in range(4)]
+                h2 = (s2[0] | s2[1]) | (s2[2] | s2[3])
+
+                @pl.when(jnp.any(h2))
+                def _g():
+                    for c in range(C):
+                        row = wscr_ref[slot, c, rloc, :]
+                        chunk = jnp.broadcast_to(row[None, :], shape)
+                        for k in range(4):
+                            g = jnp.take_along_axis(chunk, los[k],
+                                                    axis=1)
+                            kk = 4 * c + k
+                            q_ref[kk] = jnp.where(s2[k], g, q_ref[kk])
+
+                return carry3
+
+            jax.lax.fori_loop(0, WR, rbody, 0)
+
+        def cbody_serial(ch, carry2):
             sels = [row_in[k] & (chs4[k] == ch) for k in range(4)]
             hit = (sels[0] | sels[1]) | (sels[2] | sels[3])
 
             @pl.when(jnp.any(hit))
             def _do():
-                cp = pltpu.make_async_copy(
-                    bref.at[:, pl.ds(rw0, WR), ch, :], wscr_ref, sem)
+                cp = dma(ch, 0)
                 cp.start()
                 cp.wait()
-
-                def rbody(rloc, carry3):
-                    s2 = [sels[k] & (rows4[k] - rw0 == rloc)
-                          for k in range(4)]
-                    h2 = (s2[0] | s2[1]) | (s2[2] | s2[3])
-
-                    @pl.when(jnp.any(h2))
-                    def _g():
-                        for c in range(C):
-                            row = wscr_ref[c, rloc, :]
-                            chunk = jnp.broadcast_to(row[None, :], shape)
-                            for k in range(4):
-                                g = jnp.take_along_axis(chunk, los[k],
-                                                        axis=1)
-                                kk = 4 * c + k
-                                q_ref[kk] = jnp.where(s2[k], g, q_ref[kk])
-
-                    return carry3
-
-                jax.lax.fori_loop(0, WR, rbody, 0)
+                gather(ch, 0, sels)
 
             return carry2
 
-        cbody(ch_first, 0)
+        # Extreme column chunks: serial (they wait before the
+        # pipelined interior issues anything on slot 0).
+        cbody_serial(ch_first, 0)
 
         @pl.when(ch_last != ch_first)
         def _last_ch():
-            cbody(ch_last, 0)
+            cbody_serial(ch_last, 0)
 
-        jax.lax.fori_loop(chmin2, chmax2 + 1, cbody, 0)
+        # Interior interval: double-buffered — the DMA for chunk ch+1
+        # is in flight while ch's texels are gathered. Interior chunks
+        # are fetched unconditionally (the surface's occupied span is
+        # dense once the extremes are split out; a wasted 12 KB fetch
+        # costs far less than a serial DMA stall per chunk).
+        @pl.when(chmin2 <= chmax2)
+        def _interior():
+            dma(chmin2, chmin2 & 1).start()
+
+            def cbody(ch, carry2):
+                slot = ch & 1
+
+                @pl.when(ch < chmax2)
+                def _prefetch():
+                    dma(ch + 1, (ch + 1) & 1).start()
+
+                dma(ch, slot).wait()
+                sels = [row_in[k] & (chs4[k] == ch) for k in range(4)]
+                hit = (sels[0] | sels[1]) | (sels[2] | sels[3])
+
+                @pl.when(jnp.any(hit))
+                def _do():
+                    gather(ch, slot, sels)
+
+                return carry2
+
+            jax.lax.fori_loop(chmin2, chmax2 + 1, cbody, 0)
+
         return carry
 
     for k in range(4 * C):
@@ -752,8 +787,10 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
 
     scratch = [pltpu.VMEM((4 * C, BLKR, LANE), jnp.float32)]
     if bigs:
-        scratch += [pltpu.VMEM((C, _WIN_ROWS, LANE), jnp.float32),
-                    pltpu.SemaphoreType.DMA(())]
+        # 2-slot window scratch + semaphores: _gather_big
+        # double-buffers the interior column sweep.
+        scratch += [pltpu.VMEM((2, C, _WIN_ROWS, LANE), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
 
     kernel = _build_kernel(mode, C, L, tuple(meta_k), boundary_mode,
                            filter_mode, n_big=len(bigs))
@@ -1130,8 +1167,10 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
 
     scratch = [pltpu.VMEM((4 * C, BLKR, LANE), jnp.float32)]
     if bigs:
-        scratch += [pltpu.VMEM((C, _WIN_ROWS, LANE), jnp.float32),
-                    pltpu.SemaphoreType.DMA(())]
+        # 2-slot window scratch + semaphores: _gather_big
+        # double-buffers the interior column sweep.
+        scratch += [pltpu.VMEM((2, C, _WIN_ROWS, LANE), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
 
     kernel = _build_cube_kernel(mode, C, L, tuple(meta_k), filter_mode,
                                 n_big=len(bigs))
