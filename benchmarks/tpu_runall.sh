@@ -17,8 +17,8 @@ export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 LOGDIR=/tmp/tpu_r3
 mkdir -p "$LOGDIR"
 
-want() {  # want <name>: true if no stage args given or <name> listed
-  [ "$#" -eq 0 ] && return 0
+want() {  # want <name> [stage...]: true if no stage args given or <name> listed
+  [ "$#" -le 1 ] && return 0
   local n="$1"; shift
   for s in "$@"; do [ "$s" = "$n" ] && return 0; done
   return 1
