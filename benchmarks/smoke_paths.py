@@ -61,9 +61,8 @@ def sphere_scene(nlat, nlon):
     return pos, jnp.asarray(pos_idx)
 
 
-def run(name, pos, tri, res, expect):
+def expected_path(T, res, remap_budget):
     from nvdiffrast_tpu.ops import rasterize_pallas as rp
-    T = int(tri.shape[0])
     S = T
     target = -(-S // 64)
     chunk = min(rp.CHUNK_CAP,
@@ -75,25 +74,55 @@ def run(name, pos, tri, res, expect):
     wp0 = -(-W // rp.LANE) * rp.LANE
     ntx = -(-wp0 // rp.MAX_TILE_W)
     n_tiles = nty * ntx
-    use_remap = n_tiles * nc <= rp._REMAP_MAX_ENTRIES and nc > 1
+    use_remap = n_tiles * nc <= remap_budget and nc > 1
     path = "remap" if use_remap else ("csr" if nc > 1 else "dense")
+    return path, nc, n_tiles
+
+
+def render(pos, tri, res, impl, remap_budget=None):
+    """One Pallas/XLA render; optionally shrink the remap SMEM budget
+    so the CSR branch triggers at smoke-able scale (the organic trigger
+    needs >2M visible triangles, where the XLA cross-check render is
+    too slow for a smoke stage)."""
+    from nvdiffrast_tpu.ops import rasterize_pallas as rp
+    saved = rp._REMAP_MAX_ENTRIES
+    if remap_budget is not None:
+        rp._REMAP_MAX_ENTRIES = remap_budget
+    try:
+        r, _ = jax.jit(
+            lambda p: rasterize(None, p, tri, res, impl=impl))(pos)
+        r.block_until_ready()
+    finally:
+        rp._REMAP_MAX_ENTRIES = saved
+    return r
+
+
+def run(name, pos, tri, res, expect, remap_budget=None, ref="xla"):
+    from nvdiffrast_tpu.ops import rasterize_pallas as rp
+    T = int(tri.shape[0])
+    budget = rp._REMAP_MAX_ENTRIES if remap_budget is None else remap_budget
+    path, nc, n_tiles = expected_path(T, res, budget)
     print(f"{name}: T={T} res={res} nc={nc} tiles={n_tiles} "
-          f"path={path}")
+          f"path={path} vs {ref}")
     assert path == expect, f"config takes the {path} path, not {expect}"
 
-    r_p, _ = jax.jit(
-        lambda p: rasterize(None, p, tri, res, impl="pallas"))(pos)
-    r_x, _ = jax.jit(
-        lambda p: rasterize(None, p, tri, res, impl="xla"))(pos)
-    _ids_match_mod_zfights(r_x, r_p)
+    r_p = render(pos, tri, res, "pallas", remap_budget)
+    r_ref = render(pos, tri, res, ref)
+    _ids_match_mod_zfights(r_ref, r_p)
 
 
 def main():
     print("backend:", jax.default_backend())
     pos, tri = cube_scene()
     run("dense nc==1 (cube)", pos, tri, (256, 256), "dense")
+    # CSR vs XLA at a scale where the XLA render is cheap.
+    pos, tri = sphere_scene(128, 256)
+    run("csr vs xla (65k-tri sphere)", pos, tri, (1024, 1024), "csr",
+        remap_budget=0)
+    # CSR vs the (XLA-validated) remap kernel at production scale.
     pos, tri = sphere_scene(512, 1024)
-    run("csr over-remap (1.05M-tri sphere)", pos, tri, (2048, 2048), "csr")
+    run("csr vs remap (1.05M-tri sphere)", pos, tri, (2048, 2048), "csr",
+        remap_budget=0, ref="pallas")
     print("non-remap-path smoke OK")
 
 
