@@ -448,10 +448,13 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
         @pl.when(chunk_hit)
         def _():
             def group_body(g, carry):
-                gx0 = gaabb_ref[0, g, 0]
-                gy0 = gaabb_ref[0, g, 1]
-                gx1 = gaabb_ref[0, g, 2]
-                gy1 = gaabb_ref[0, g, 3]
+                # gaabb block is [1, 8, gpc]: coord rows 0-3 on the
+                # sublane axis, groups on the lane axis (see the
+                # host-side layout note at `gaabb_k`).
+                gx0 = gaabb_ref[0, 0, g]
+                gy0 = gaabb_ref[0, 1, g]
+                gx1 = gaabb_ref[0, 2, g]
+                gy1 = gaabb_ref[0, 3, g]
 
                 @pl.when((gy0 <= ty1) & (gy1 >= ty0)
                          & (gx0 <= tx1) & (gx1 >= tx0))
@@ -755,6 +758,14 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
             ga4[..., 2].max(axis=-1), ga4[..., 3].max(axis=-1)], axis=-1)
 
     Bc = rec_s.shape[0]
+    # Kernel layout for group AABBs: [B, nc*8, gpc] — coord rows 0-3 on
+    # an 8-padded sublane axis, groups on the minormost axis. SMEM
+    # windows pad the minormost dim to 128 lanes, so the natural
+    # [gpc, 4] per-chunk block would cost gpc*128 f32 per buffer (1 MB
+    # of the 1 MB SMEM at gpc=1024); this layout costs 8*gpc.
+    ga_k = gaabb.reshape(Bc, nc, gpc, 4).transpose(0, 1, 3, 2)
+    ga_k = jnp.pad(ga_k, ((0, 0), (0, 0), (0, 4), (0, 0)))
+    gaabb_k = ga_k.reshape(Bc, nc * 8, gpc)
     # [B, 8, 2]: row-replicated so the SMEM block avoids size-1 dims.
     ranges = jnp.broadcast_to(
         jnp.asarray(ranges, jnp.int32).reshape(B, 1, 2), (B, 8, 2))
@@ -816,7 +827,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                 (1, 8), lambda b, ty, tx, c, s_, n_: (0, 0),
                 memory_space=pltpu.SMEM))
         in_specs += [
-            pl.BlockSpec((1, gpc, 4),
+            pl.BlockSpec((1, 8, gpc),
                          lambda b, ty, tx, c, s_, n_: (
                              _b(b), chunk_of(b, ty, tx, c, s_, n_), 0),
                          memory_space=pltpu.SMEM),
@@ -825,7 +836,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                              _b(b), chunk_of(b, ty, tx, c, s_, n_), 0),
                          memory_space=pltpu.VMEM),
         ]
-        inputs = [ranges] + ([y0_in] if has_vp else []) + [gaabb, rec_s]
+        inputs = [ranges] + ([y0_in] if has_vp else []) + [gaabb_k, rec_s]
         peel_im = lambda b, ty, tx, c, s_, n_: (b, ty, tx)
         out_im = lambda b, ty, tx, c, s_, n_: (b, ty, tx)
     elif use_remap:
@@ -844,7 +855,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                 (1, 8), lambda b, ty, tx, c, r_, n_: (0, 0),
                 memory_space=pltpu.SMEM))
         in_specs += [
-            pl.BlockSpec((1, gpc, 4),
+            pl.BlockSpec((1, 8, gpc),
                          lambda b, ty, tx, c, r_, n_: (
                              _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
                          memory_space=pltpu.SMEM),
@@ -853,7 +864,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                              _b(b), chunk_of(b, ty, tx, c, r_, n_), 0),
                          memory_space=pltpu.VMEM),
         ]
-        inputs = [ranges] + ([y0_in] if has_vp else []) + [gaabb, rec_s]
+        inputs = [ranges] + ([y0_in] if has_vp else []) + [gaabb_k, rec_s]
         peel_im = lambda b, ty, tx, c, r_, n_: (b, ty, tx)
         out_im = lambda b, ty, tx, c, r_, n_: (b, ty, tx)
     else:
@@ -877,7 +888,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
             pl.BlockSpec((1, ncp, 4),
                          lambda b, ty, tx, c: (_b(b), 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, gpc, 4),
+            pl.BlockSpec((1, 8, gpc),
                          lambda b, ty, tx, c: (_b(b), c, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, gpc, 128),
@@ -885,7 +896,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
                          memory_space=pltpu.VMEM),
         ]
         inputs = ([ranges] + ([y0_in] if has_vp else [])
-                  + [caabb, gaabb, rec_s])
+                  + [caabb, gaabb_k, rec_s])
         peel_im = lambda b, ty, tx, c: (b, ty, tx)
         out_im = lambda b, ty, tx, c: (b, ty, tx)
 
