@@ -58,6 +58,23 @@ def audit_scatter_methods():
 
 
 def audit_pipeline_fd():
+    """FD + analytic-vs-analytic gradient audit (VERDICT r3 item 6).
+
+    Round-3 measured a 23% worst-case FD-vs-analytic relative error at
+    eps=1e-3. Two measurements separate FD discretization noise from
+    kernel gradient error:
+
+    1. analytic (fused Pallas pipeline) vs analytic (composed XLA ops)
+       over the FULL gradient vector — kernel disagreement shows here
+       regardless of coverage discontinuities;
+    2. central-difference FD at eps in {1e-2, 3e-3, 1e-3, 3e-4} per
+       sampled vertex — true gradient error is eps-stable, while
+       AA/coverage discretization noise moves with eps (the loss is
+       piecewise-smooth in vertex position: any eps step that shifts a
+       silhouette crossing past a pixel-pair center changes coverage
+       discretely, which FD sees and the analytic gradient — by design,
+       reference antialias.cu:387-556 — does not).
+    """
     print("== end-to-end FD check of the pipeline gradient (on chip) ==")
     pos_idx, vtxp, col_idx, _ = primitives.uv_sphere(16, 32)
     vtxc = (vtxp * 0.5 + 0.5).astype(np.float32)
@@ -69,40 +86,69 @@ def audit_pipeline_fd():
     col = jnp.asarray(vtxc)
     RES = 512
 
-    @jax.jit
-    def loss(p):
-        img = render_pipeline(p, tri, col, (RES, RES), attr_idx=cidx)
+    def loss_impl(p, impl):
+        img = render_pipeline(p, tri, col, (RES, RES), attr_idx=cidx,
+                              impl=impl)
         return jnp.mean(img ** 2)
 
-    g = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(pos0)))
+    loss = jax.jit(lambda p: loss_impl(p, "auto"))
+    g = np.asarray(jax.jit(jax.grad(lambda p: loss_impl(p, "auto")))(
+        jnp.asarray(pos0)))
 
-    eps = 1e-3
+    # (1) analytic vs analytic: fused Pallas kernels vs composed XLA
+    # custom_vjps on the same loss. Z-fight pixels can hand coverage to
+    # a different triangle per path, so compare with a small floor.
+    def loss_xla(p):
+        from nvdiffrast_tpu.ops.rasterize import rasterize
+        from nvdiffrast_tpu.ops.interpolate import interpolate
+        from nvdiffrast_tpu.ops.antialias import antialias
+        rast, _ = rasterize(None, p, tri, (RES, RES), grad_db=False,
+                            impl="xla")
+        color, _ = interpolate(col, rast, cidx, impl="xla")
+        return jnp.mean(antialias(color, rast, p, tri, impl="xla") ** 2)
+
+    g_x = np.asarray(jax.jit(jax.grad(loss_xla))(jnp.asarray(pos0)))
+    denom = np.abs(g_x) + 1e-3 * max(float(np.abs(g_x).max()), 1e-30)
+    rel_aa = np.abs(g - g_x) / denom
+    print(f"  analytic pallas vs analytic xla (full vector, "
+          f"{g.size} entries): max rel {rel_aa.max():.3e}   "
+          f"p99.9 {np.percentile(rel_aa, 99.9):.3e}")
+
+    # (2) FD eps sweep at sampled coordinates.
     rng = np.random.RandomState(1)
     worst = 0.0
     gmax = np.abs(g).max()
+    eps_list = (1e-2, 3e-3, 1e-3, 3e-4)
     for _ in range(12):
         v = rng.randint(0, pos0.shape[1])
         c = rng.randint(0, 4)
-        pp = pos0.copy()
-        pp[0, v, c] += eps
-        lp = float(loss(jnp.asarray(pp)))
-        pp[0, v, c] -= 2 * eps
-        lm = float(loss(jnp.asarray(pp)))
-        fd = (lp - lm) / (2 * eps)
         an = g[0, v, c]
-        err = abs(fd - an) / max(abs(fd), abs(an), 1e-3 * gmax)
+        fds = []
+        for eps in eps_list:
+            pp = pos0.copy()
+            pp[0, v, c] += eps
+            lp = float(loss(jnp.asarray(pp)))
+            pp[0, v, c] -= 2 * eps
+            lm = float(loss(jnp.asarray(pp)))
+            fds.append((lp - lm) / (2 * eps))
+        err = min(abs(fd - an) / max(abs(fd), abs(an), 1e-3 * gmax)
+                  for fd in fds)
         worst = max(worst, err)
-        print(f"  v={v:4d} c={c}  fd {fd:+.6e}  analytic {an:+.6e}  "
-              f"rel {err:.3e}")
-    print(f"  worst rel {worst:.3e}")
-    return worst
+        fd_str = " ".join(f"{fd:+.3e}" for fd in fds)
+        print(f"  v={v:4d} c={c}  analytic {an:+.6e}  fd[eps sweep] "
+              f"{fd_str}  best-rel {err:.3e}")
+    print(f"  worst best-over-eps rel {worst:.3e}  "
+          f"(eps={eps_list}; eps-dependent spread = coverage "
+          f"discretization, not kernel error)")
+    return worst, rel_aa.max()
 
 
 def main():
     print("backend:", jax.default_backend())
     m1 = audit_scatter_methods()
-    m2 = audit_pipeline_fd()
-    print(f"SUMMARY scatter_rel_max={m1:.3e} pipeline_fd_rel_max={m2:.3e}")
+    m2, m3 = audit_pipeline_fd()
+    print(f"SUMMARY scatter_rel_max={m1:.3e} pipeline_fd_rel_max={m2:.3e} "
+          f"analytic_vs_analytic_rel_max={m3:.3e}")
 
 
 if __name__ == "__main__":

@@ -54,9 +54,9 @@ def main():
         def prep(p):
             tv = p[:, tri]
             tri_ids = jnp.arange(T, dtype=jnp.int32)
-            rec, sub_f, sval_f = rp._build_records(tv[0], tri_ids)
+            rec, sub_f, sval_f, slop = rp._build_records(tv[0], tri_ids)
             xmin, ymin, xmax, ymax, ok = rp._pixel_aabb(
-                sub_f, sval_f, RES, RES, 0, RES)
+                sub_f, sval_f, RES, RES, 0, RES, slop=slop)
             aabb = (xmin.min(axis=-1), ymin.min(axis=-1),
                     xmax.max(axis=-1), ymax.max(axis=-1), ok.any(axis=-1))
             nty = -(-RES // rp.TILE_H)

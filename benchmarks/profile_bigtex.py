@@ -46,14 +46,18 @@ def main():
     uv_da = jnp.asarray(
         rng.uniform(1e-4, 1e-3, (1, RES, RES, 4)).astype(np.float32))
 
-    for th, tw in ((1024, 1024), (1536, 2048)):
+    # The 2048x1536 atlas needs max_mip_level=9: level 10 would be
+    # 4x3, not divisible by 2 (the reference earth sample does the
+    # same: /root/reference/samples/torch/earth.py:73).
+    for th, tw, max_mip in ((1024, 1024, None), (1536, 2048, 9)):
         tex = jnp.asarray(rng.rand(1, th, tw, 3).astype(np.float32))
 
         for impl in ("pallas", "xla"):
             def fwd(t, u):
                 return (texture(t, u, uv_da=uv_da,
                                 filter_mode="linear-mipmap-linear",
-                                boundary_mode="wrap", impl=impl),)
+                                boundary_mode="wrap", impl=impl,
+                                max_mip_level=max_mip),)
 
             def fb(t, u):
                 def loss(t_, u_):

@@ -1,6 +1,7 @@
 #!/bin/bash
-# One-shot on-chip validation + bench queue for everything that landed
-# while the axon tunnel was down (round 3 second half).
+# One-shot on-chip validation + bench gate (round 4 exit gate —
+# VERDICT r3 item 5). Logs land in /tmp/tpu_r4/; after a full pass,
+# fold the numbers into benchmarks/results_r4.md and commit.
 #
 # Runs each stage sequentially with its own log under /tmp/tpu_r3/ and
 # a generous timeout; a failing stage does not stop later stages.
@@ -9,12 +10,12 @@
 # JAX_COMPILATION_CACHE_DIR).
 #
 # Usage:  bash benchmarks/tpu_runall.sh  [stage...]
-#   stages: smoke bench paths bigmesh bigtex audit texpipe
+#   stages: smoke bench paths binning bigmesh bigtex scatbis bisect audit texpipe
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:/root/.axon_site"
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
-LOGDIR=/tmp/tpu_r3
+LOGDIR=/tmp/tpu_r4
 mkdir -p "$LOGDIR"
 
 want() {  # want <name> [stage...]: true if no stage args given or <name> listed
@@ -41,10 +42,16 @@ run smoke   3600 python benchmarks/smoke_r3.py
 run bench   1800 python bench.py
 # 3. Dense (nc==1) + CSR rasterizer branches at real shapes.
 run paths   1800 python benchmarks/smoke_paths.py
+# 3b. Binning-prepass stage breakdown (argsort vs layout cost).
+run binning 2400 python benchmarks/profile_binning.py
 # 4. Big-mesh throughput (CSR segments): 81k / 1M tris.
 run bigmesh 2400 python benchmarks/profile_bigmesh.py
 # 5. Big-texture fused sampler (HBM windowed gather) incl. earth-scale atlas.
-run bigtex  2400 python benchmarks/profile_bigtex.py
+run bigtex  3600 python benchmarks/profile_bigtex.py
+# 5b. bwd Mosaic-crash bisection: row-blocked scatter hypothesis
+# first (tiny programs), then the big-texture configs.
+run scatbis 3600 python benchmarks/bisect_scatter.py
+run bisect  3600 python benchmarks/bisect_bigtex.py 8 11 7
 # 6. bf16 hi/lo scatter audit + on-chip pipeline FD gradient check.
 run audit   2400 python benchmarks/audit_scatter.py
 # 7. Textured-pipeline stage profile.

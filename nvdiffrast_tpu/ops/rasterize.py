@@ -724,6 +724,16 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
             pos, tri, resolution, ranges, peel_depth,
             interpret=(impl == "pallas_interpret"), viewport=viewport)
 
+    if T >= (1 << 17):
+        import warnings
+
+        warnings.warn(
+            f"rasterize: XLA fallback evaluates all {T} triangles at "
+            f"every pixel (O(T*N)) — minutes at this size. Use "
+            f"impl='pallas' on TPU (binned sweep, occupancy-"
+            f"proportional); the fallback is meant for CPU tests and "
+            f"small meshes.", stacklevel=2)
+
     if instance_mode:
         B = pos.shape[0]
         tv = pos[:, tri]  # [B, T, 3, 4]

@@ -86,10 +86,73 @@ def _cdiv(a, b):
 # Binning (XLA).
 # ---------------------------------------------------------------------------
 
-def _pixel_aabb(sub, ok, H, W, y0, Hf):
+# Coefficient-construction (~2 ulp on the product magnitudes) plus
+# kernel-evaluation (~2 ulp at |fx|,|fy| <= 1) rounding of the affine
+# edge functions, with headroom (f32 ulp = 2^-24).
+_SLOP_KAPPA = 8.0 * 2.0 ** -24
+
+
+def _coverage_slop(tv):
+    """Sound binning expansion (clip-fraction units) per triangle.
+
+    The kernel's coverage test evaluates the f32 *record coefficients*
+    (products of clip coords, see rasterize._edge_coeffs), not exact
+    edge lines — so the coverable set is contained in
+    ``{a_k >= -E_k for all k}`` where ``E_k`` bounds edge k's combined
+    construction + evaluation rounding over the screen. Displacing each
+    edge line by E_k moves each coverage-polytope vertex (the
+    intersection of edge lines k, l) by at most
+    ``(E_k*|grad_l| + E_l*|grad_k|) / |cross(grad_k, grad_l)]``
+    (2x2 linear perturbation). The max over the three vertex pairs
+    bounds how far pixels the kernel can claim extend beyond the
+    projected triangle, so binning by AABB + slop is sound against the
+    kernel's own arithmetic. Healthy triangles get sub-0.01-px slop;
+    near-degenerate slivers blow up toward band/global segments (rare,
+    and exactly the shapes whose f32 polytope really does escape the
+    vertex AABB — the round-3 on-chip CSR 1-pixel divergence at 1M
+    tris was such a sliver). The near-clip cut / pw>0 / |pz|<=pw tests
+    only intersect (shrink) coverage, so edge pairs alone bound it.
+
+    Args:
+      tv: [..., 3, 4] parent clip-space vertices.
+    Returns:
+      [...] f32 slop; large (possibly inf -> caller clips) for slivers.
+    """
+    x, y, w = tv[..., 0], tv[..., 1], tv[..., 3]
+
+    def edge(j, k):
+        xj, yj, wj = x[..., j], y[..., j], w[..., j]
+        xk, yk, wk = x[..., k], y[..., k], w[..., k]
+        mag = (jnp.abs(xj * yk) + jnp.abs(xk * yj)
+               + jnp.abs(yj * wk) + jnp.abs(wj * yk)
+               + jnp.abs(wj * xk) + jnp.abs(xj * wk))
+        cx = yj * wk - wj * yk
+        cy = wj * xk - xj * wk
+        return _SLOP_KAPPA * mag, jnp.sqrt(cx * cx + cy * cy), cx, cy
+
+    e = [edge(1, 2), edge(2, 0), edge(0, 1)]
+    slop = jnp.zeros(tv.shape[:-2], jnp.float32)
+    for k in range(3):
+        ek, gk, cxk, cyk = e[k]
+        el, gl, cxl, cyl = e[(k + 1) % 3]
+        d = jnp.abs(cxk * cyl - cyk * cxl)
+        delta = jnp.where(d > 0, (ek * gl + el * gk)
+                          / jnp.maximum(d, 1e-38), _BIG)
+        slop = jnp.maximum(slop, delta)
+    return 2.0 * slop  # safety factor on the ulp accounting
+
+
+def _pixel_aabb(sub, ok, H, W, y0, Hf, slop=None):
     """Screen AABB per subtriangle in band-local pixel-index units
     (empty if !ok). y0/Hf: row offset and full image height of the
-    viewport (band rows cover [y0, y0 + H) of the Hf-tall image)."""
+    viewport (band rows cover [y0, y0 + H) of the Hf-tall image).
+
+    slop: optional per-record coverage-soundness expansion in
+    clip-fraction units (see _coverage_slop) — broadcast against the
+    slot axis. It bounds how far the kernel's f32-coefficient coverage
+    polytope can extend beyond the projected true triangle, so the
+    binning box provably contains every pixel the kernel can cover.
+    """
     x = sub[..., 0]
     y = sub[..., 1]
     w = jnp.maximum(sub[..., 3], 1e-12)
@@ -101,10 +164,15 @@ def _pixel_aabb(sub, ok, H, W, y0, Hf):
     # affine edge + cut test, so a rounding sliver could otherwise bin
     # away a covered pixel at a tile/slab boundary. Expansion only
     # loosens group/tile-level candidate tests (conservative).
-    xmin = jnp.min(px, axis=-1) - 0.5
-    xmax = jnp.max(px, axis=-1) + 0.5
-    ymin = jnp.min(py, axis=-1) - 0.5
-    ymax = jnp.max(py, axis=-1) + 0.5
+    gx = gy = 0.5
+    if slop is not None:
+        # Clip-fraction -> pixel units (fx = px * 2/W + xo).
+        gx = gx + jnp.clip(slop * (W * 0.5), 0.0, 1e9)[..., None]
+        gy = gy + jnp.clip(slop * (Hf * 0.5), 0.0, 1e9)[..., None]
+    xmin = jnp.min(px, axis=-1) - gx
+    xmax = jnp.max(px, axis=-1) + gx
+    ymin = jnp.min(py, axis=-1) - gy
+    ymax = jnp.max(py, axis=-1) + gy
     onscreen = ((xmax >= -0.5) & (xmin <= W - 0.5) &
                 (ymax >= -0.5) & (ymin <= H - 0.5))
     ok = ok & onscreen
@@ -113,6 +181,29 @@ def _pixel_aabb(sub, ok, H, W, y0, Hf):
     xmax = jnp.where(ok, xmax, -_BIG)
     ymax = jnp.where(ok, ymax, -_BIG)
     return xmin, ymin, xmax, ymax, ok
+
+
+def _stable_order(key, n_key):
+    """Stable ascending order of small-int keys (invalid = n_key).
+
+    Packs (key, slot) into ONE int32 and runs a single-operand
+    lax.sort — half the sort traffic of jnp.argsort's (key, iota)
+    variadic sort, which profiling showed dominating the big-mesh
+    binning prepass. Falls back to argsort when the pack would
+    overflow int31 (huge meshes / very fine tile grids).
+
+    Args:
+      key: [S] int32 in [0, n_key] (n_key = invalid sentinel).
+      n_key: static int.
+    Returns (order [S] int32, key_sorted [S] int32).
+    """
+    S = key.shape[0]
+    ib = max(1, (S - 1).bit_length())
+    if (n_key + 1) << ib <= (1 << 31):
+        packed = jax.lax.sort(key << ib | jnp.arange(S, dtype=jnp.int32))
+        return packed & ((1 << ib) - 1), packed >> ib
+    order = jnp.argsort(key, stable=True)
+    return order, key[order]
 
 
 def _sort_records(records, aabb, nty, ntx, tile_w):
@@ -124,13 +215,13 @@ def _sort_records(records, aabb, nty, ntx, tile_w):
     derives per-chunk AABBs by reshaping gaabb.
     """
     xmin, ymin, xmax, ymax, ok = aabb
-    _INT32_MAX = jnp.iinfo(jnp.int32).max
     band = jnp.clip(jnp.floor((ymin + 0.5) / TILE_H).astype(jnp.int32),
                     0, nty - 1)
     tx0 = jnp.clip(jnp.floor((xmin + 0.5) / tile_w).astype(jnp.int32),
                    0, ntx - 1)
-    key = jnp.where(ok, band * ntx + tx0, _INT32_MAX)
-    order = jnp.argsort(key)
+    nk = nty * ntx
+    key = jnp.where(ok, band * ntx + tx0, nk)
+    order, _ = _stable_order(key, nk)
 
     records_s = records[order]
     xmin_s, ymin_s = xmin[order], ymin[order]
@@ -175,7 +266,6 @@ def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
     """
     xmin, ymin, xmax, ymax, ok = aabb
     S = records.shape[0]
-    _IMAX = jnp.iinfo(jnp.int32).max
 
     def tix(v, n, scale):
         return jnp.clip(jnp.floor((v + 0.5) / scale).astype(jnp.int32),
@@ -192,8 +282,8 @@ def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
     bandonly = (band0 == band1) & ~local
     key = jnp.where(local, band0 * ntx + tx0,
                     jnp.where(bandonly, nk0 + band0, nk0 + nty))
-    key = jnp.where(ok, key, _IMAX)
-    order = jnp.argsort(key, stable=True)
+    key = jnp.where(ok, key, n_seg)
+    order, _ = _stable_order(key, n_seg)
 
     counts = jnp.zeros((n_seg,), jnp.int32).at[
         jnp.clip(key, 0, n_seg - 1)].add(ok.astype(jnp.int32))
@@ -203,13 +293,28 @@ def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
     seg0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(counts)])  # sorted-order starts
 
+    # Slot -> segment mapping at BLOCK granularity: a max-scatter of
+    # segment ids at their start blocks + cummax reproduces
+    # searchsorted(cstart*chunk, j, 'right')-1 (ties -> largest k, so
+    # empty segments resolve identically) with [nb]-sized work instead
+    # of a per-slot binary search — the prepass is HBM/sort bound, the
+    # old searchsorted alone was tens of ms at 1M tris.
     S_pad = (_cdiv(S, chunk) + n_seg) * chunk  # static upper bound
-    j = jnp.arange(S_pad, dtype=jnp.int32)
-    k = jnp.searchsorted(cstart * chunk, j, side="right") - 1
-    kc = jnp.clip(k, 0, n_seg - 1)
-    r = j - cstart[kc] * chunk
-    valid_slot = (k < n_seg) & (r < counts[kc])
-    src = order[jnp.clip(seg0[kc] + r, 0, S - 1)]
+    nb = S_pad // chunk
+    k_blk = jax.lax.cummax(
+        jnp.full((nb,), -1, jnp.int32).at[cstart].max(
+            jnp.arange(n_seg + 1, dtype=jnp.int32), mode="drop"))
+    kc_blk = jnp.clip(k_blk, 0, n_seg - 1)
+    r0_blk = (jnp.arange(nb, dtype=jnp.int32) - cstart[kc_blk]) * chunk
+    valid_blk = k_blk < n_seg
+
+    def expand(a_blk):  # [nb] -> [S_pad] (static chunk: pure reshape)
+        return jnp.broadcast_to(a_blk[:, None], (nb, chunk)).reshape(-1)
+
+    jr = jnp.arange(S_pad, dtype=jnp.int32) % chunk
+    r = expand(r0_blk) + jr
+    valid_slot = expand(valid_blk) & (r < expand(counts[kc_blk]))
+    src = order[jnp.clip(expand(seg0[kc_blk]) + r, 0, S - 1)]
 
     safe = jnp.zeros((16,), jnp.float32).at[15].set(_ID_INVALID)
     rec_l = jnp.where(valid_slot[:, None], records[src], safe[None, :])
@@ -619,7 +724,7 @@ def _build_records(tv, tri_ids):
     # Zero the geometry of invalid slots (keep idf = INVALID).
     safe = jnp.zeros((16,), jnp.float32).at[15].set(_ID_INVALID)
     rec = jnp.where(valid[..., None], rec, safe)
-    return rec, sub, svalid & valid[..., None]
+    return rec, sub, svalid & valid[..., None], _coverage_slop(tv)
 
 
 def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
@@ -673,7 +778,7 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
         tv = pos[:, tri]  # [B, T, 3, 4]
     else:
         tv = pos[tri]  # [T, 3, 4]
-    rec, sub_f, sval_f = _build_records(tv, tri_ids)
+    rec, sub_f, sval_f, slop_f = _build_records(tv, tri_ids)
 
     S = T
     # chunk must keep gpc = chunk/GROUP a multiple of 8 (SMEM tiling)
@@ -694,25 +799,27 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     use_remap = Bc_geom * n_tiles * nc <= _REMAP_MAX_ENTRIES and nc > 1
     use_csr = (not use_remap) and nc > 1
 
-    def aabb_union(sub_i, sval_i):
+    def aabb_union(sub_i, sval_i, slop_i):
         # sub_i: [S, 2, 3, 4] clip polygons (AABB only) — union the
-        # two slots' screen boxes per triangle.
-        xmin, ymin, xmax, ymax, ok = _pixel_aabb(sub_i, sval_i, H, W, y0, Hf)
+        # two slots' screen boxes per triangle. slop_i: [S] coverage-
+        # soundness expansion (see _coverage_slop).
+        xmin, ymin, xmax, ymax, ok = _pixel_aabb(sub_i, sval_i, H, W,
+                                                 y0, Hf, slop=slop_i)
         return (xmin.min(axis=-1), ymin.min(axis=-1),
                 xmax.max(axis=-1), ymax.max(axis=-1), ok.any(axis=-1))
 
     cstart = ccnt = caabb = None
     if use_csr:
         # Big meshes: chunk-aligned per-tile/band/global CSR segments.
-        def csr_one(rec_i, sub_i, sval_i):
-            return _csr_layout(rec_i, aabb_union(sub_i, sval_i),
+        def csr_one(rec_i, sub_i, sval_i, slop_i):
+            return _csr_layout(rec_i, aabb_union(sub_i, sval_i, slop_i),
                                nty, ntx, tile_w, chunk)
 
         if instance_mode:
             rec_s, gaabb, cstart, ccnt = jax.vmap(csr_one)(
-                rec, sub_f, sval_f)
+                rec, sub_f, sval_f, slop_f)
         else:
-            rec_s, gaabb, cstart, ccnt = csr_one(rec, sub_f, sval_f)
+            rec_s, gaabb, cstart, ccnt = csr_one(rec, sub_f, sval_f, slop_f)
             rec_s, gaabb = rec_s[None], gaabb[None]
             cstart, ccnt = cstart[None], ccnt[None]
         S_lay = rec_s.shape[1]
@@ -733,15 +840,16 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
             rec = rec.at[..., S:, 15].set(_ID_INVALID)
         sub_p = pad_s(sub_f, s_axis)
         sval_p = pad_s(sval_f, s_axis)
+        slop_p = pad_s(slop_f, s_axis)
 
-        def bin_one(rec_i, sub_i, sval_i):
-            return _sort_records(rec_i, aabb_union(sub_i, sval_i),
+        def bin_one(rec_i, sub_i, sval_i, slop_i):
+            return _sort_records(rec_i, aabb_union(sub_i, sval_i, slop_i),
                                  nty, ntx, tile_w)
 
         if instance_mode:
-            rec_s, gaabb = jax.vmap(bin_one)(rec, sub_p, sval_p)
+            rec_s, gaabb = jax.vmap(bin_one)(rec, sub_p, sval_p, slop_p)
         else:
-            rec_s, gaabb = bin_one(rec, sub_p, sval_p)
+            rec_s, gaabb = bin_one(rec, sub_p, sval_p, slop_p)
             rec_s = rec_s[None]
             gaabb = gaabb[None]
         S_lay = Sp

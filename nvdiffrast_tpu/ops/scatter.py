@@ -32,6 +32,16 @@ _ONEHOT_MAX_ROWS = 16384
 # whose id window overlaps it (spatially coherent gradient streams
 # touch ~1 block per chunk).
 _PALLAS_MAX_ACC = 5 << 19
+# Resident-output-block budget (floats). Separate from (and smaller
+# than) _PALLAS_MAX_ACC: the block shares ~16 MB VMEM with the
+# double-buffered id/value inputs and the one-hot / hi-lo temporaries
+# (~5 MB at FK=48). A 10.5 MB block compiled only while the rest of
+# the kernel stayed tiny; at texture-gradient scale (NTe ~ 1.4M rows,
+# K=6) the old full-budget block overflowed VMEM and the remote
+# compile helper surfaced it as an opaque HTTP 500 (see
+# benchmarks/bisect_scatter.py and results_r4.md). 6.3 MB keeps
+# headroom while the remap still skips non-overlapping chunks.
+_PALLAS_BLK_ACC = 3 << 19
 # SMEM budget for the per-(block, chunk) remap table of the row-blocked
 # path (int32 entries).
 _SCAT_REMAP_MAX = 1 << 15
@@ -85,7 +95,7 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
     ids = jnp.where((ids >= 0) & (ids < num_rows), ids, Rf + F)
 
     # Row blocks: the VMEM-resident output block holds FK * QRB floats.
-    QRB = min(QR, max(_PALLAS_MAX_ACC // FK // _QW, 1) * _QW)
+    QRB = min(QR, max(_PALLAS_BLK_ACC // FK // _QW, 1) * _QW)
     NB = _cdiv(QR, QRB)
     n_win = QRB // _QW
 
@@ -292,7 +302,7 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto",
             return False
         FK = F * K
         QR = max(_cdiv(_cdiv(num_rows, F), _QW) * _QW, _QW)
-        QRB = min(QR, max(_PALLAS_MAX_ACC // FK // _QW, 1) * _QW)
+        QRB = min(QR, max(_PALLAS_BLK_ACC // FK // _QW, 1) * _QW)
         NB = _cdiv(QR, QRB)
         return NB * _cdiv(N, _P_CHUNK) <= _SCAT_REMAP_MAX
 

@@ -254,3 +254,107 @@ def test_minibatch_texture_broadcast():
     uv = jnp.full((2, 1, 1, 2), 0.5, jnp.float32)
     out = dr.texture(tex, uv, filter_mode="linear")
     np.testing.assert_allclose(np.asarray(out[:, 0, 0, 0]), [0.0, 1.0])
+
+
+def _smooth_uv(h, w, lo=0.30, span=0.08):
+    """Tile-coherent uv field covering [lo, lo+span]² — a few windowed
+    DMA column chunks / row windows per 64x128 block, as in real use."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    uv = np.stack([lo + span * xx, lo + span * yy], -1)[None]
+    return jnp.asarray(uv.astype(np.float32))
+
+
+def test_big_texture_hbm_level_parity_interpret():
+    """1024² texture: level 0 exceeds the VMEM table budget, so the
+    fused sampler serves it via the HBM windowed-DMA path
+    (texture_pallas._gather_big) — the configuration the reference
+    handles with hardware texture fetches up to 2^16 px
+    (texture.h:24). Forward and gradients must match the XLA gather
+    path; flevel ~0.5 blends the HBM level 0 with VMEM level 1.
+    """
+    from nvdiffrast_tpu.ops import texture_pallas as tp
+
+    rng = np.random.RandomState(0)
+    tex = jnp.asarray(rng.rand(1, 1024, 1024, 3).astype(np.float32))
+    H, W = 64, 128  # one kernel block
+    uv = _smooth_uv(H, W)
+    uv_da = jnp.asarray(np.full((1, H, W, 4), 1.4e-3, np.float32))
+
+    # Confirm the test hits the HBM path (level 0 above the budget).
+    meta = []
+    off = 0
+    h = w = 1024
+    while True:
+        meta.append((off, h, w))
+        off += h * w
+        if (h | w) == 1:
+            break
+        h, w = max(1, h // 2), max(1, w // 2)
+    assert tp._split_levels(meta, len(meta), 3, off) >= 1
+
+    def run(impl):
+        def loss(t, u):
+            # max_mip_level=4 keeps the interpret-mode trace small (the
+            # flevel ~0.5 blend only ever touches levels 0 and 1; the
+            # full L=11 chain is exercised on-chip by profile_bigtex).
+            o = dr.texture(t, u, uv_da=uv_da,
+                           filter_mode="linear-mipmap-linear",
+                           boundary_mode="wrap", impl=impl,
+                           max_mip_level=4)
+            return jnp.sum(o ** 2), o
+
+        (l, o), (gt, gu) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(tex, uv)
+        return o, gt, gu
+
+    o_x, gt_x, gu_x = run("xla")
+    o_p, gt_p, gu_p = run("pallas_interpret")
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=1e-5, atol=1e-5)
+    scale = float(jnp.abs(gt_x).max())
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x),
+                               atol=2e-5 * max(scale, 1.0))
+    scale_u = float(jnp.abs(gu_x).max())
+    np.testing.assert_allclose(np.asarray(gu_p), np.asarray(gu_x),
+                               rtol=1e-4, atol=1e-4 * max(scale_u, 1.0))
+
+
+def test_earth_atlas_mip_rule_and_parity_interpret():
+    """Reference earth-sample configuration: a 2048x1536 (w x h) atlas
+    needs max_mip_level=9 — level 10 would be 4x3 which the odd-size
+    rule rejects (reference texture.cpp:62-102; the earth sample passes
+    max_mip_level=9 for exactly this reason, earth.py:73)."""
+    tex_small = jnp.ones((1, 1536 // 128, 2048 // 128, 1), jnp.float32)
+    # Shape rule (cheap, full-size equivalent: 12x16 has the same
+    # halving profile as 1536x2048 for the levels past 9).
+    with pytest.raises(ValueError, match="not divisible by 2"):
+        tx._mip_shapes(1536, 2048, -1)
+    shapes = tx._mip_shapes(1536, 2048, 9)
+    assert len(shapes) == 10 and shapes[-1] == (3, 4)
+
+    # Non-square, non-power-of-two atlas through the fused sampler
+    # (forced-big split exercises the HBM path on a wl=256-wide level:
+    # two column chunks) vs XLA.
+    from nvdiffrast_tpu.ops import texture_pallas as tp
+
+    rng = np.random.RandomState(1)
+    tex = jnp.asarray(rng.rand(1, 384, 512, 3).astype(np.float32))
+    H, W = 64, 128
+    uv = _smooth_uv(H, W, lo=0.55, span=0.1)
+    uv_da = jnp.asarray(np.full((1, H, W, 4), 3e-3, np.float32))
+
+    orig = tp._MAX_VMEM_TABLE
+    try:
+        tp._MAX_VMEM_TABLE = 1 << 16  # force levels 0-1 into HBM
+        o_p = dr.texture(tex, uv, uv_da=uv_da,
+                         filter_mode="linear-mipmap-linear",
+                         boundary_mode="wrap", max_mip_level=7,
+                         impl="pallas_interpret")
+    finally:
+        tp._MAX_VMEM_TABLE = orig
+    o_x = dr.texture(tex, uv, uv_da=uv_da,
+                     filter_mode="linear-mipmap-linear",
+                     boundary_mode="wrap", max_mip_level=7, impl="xla")
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=1e-5, atol=1e-5)
