@@ -681,7 +681,11 @@ def _rasterize_bwd_cols(pos, tri, idf, dyx, dyy, ddb_cols, resolution, B,
     g = jnp.stack(cols, axis=0)
 
     # Level 1: pixels -> per-triangle gradient table (MXU one-hot).
-    gt = scatter_add_by_id(rid, g, R)  # [(B*)T, 9]
+    # Winner ids of nearby pixels index nearby triangles for any mesh
+    # with spatial index locality, so the row-blocked path's per-block
+    # chunk remap stays sparse (coherent=True is a perf promise only —
+    # incoherent ids would just sweep more windows).
+    gt = scatter_add_by_id(rid, g, R, coherent=True)  # [(B*)T, 9]
 
     # Level 2: triangle table -> vertex gradients (tiny scatter).
     gt = gt.reshape(-1, T, 3, 3)  # [B?, T, vert, (x, y, w)]

@@ -86,10 +86,37 @@ def _cdiv(a, b):
 # Binning (XLA).
 # ---------------------------------------------------------------------------
 
-# Coefficient-construction (~2 ulp on the product magnitudes) plus
-# kernel-evaluation (~2 ulp at |fx|,|fy| <= 1) rounding of the affine
-# edge functions, with headroom (f32 ulp = 2^-24).
-_SLOP_KAPPA = 8.0 * 2.0 ** -24
+# Kernel-evaluation rounding of a = (c0 + cx*fx) + cy*fy at
+# |fx|, |fy| <= 1: three f32 roundings at the term magnitudes, plus
+# the rounding of fx/fy themselves (folded in) — see _coverage_slop.
+_SLOP_EVAL_KAPPA = 3.0 * 2.0 ** -24
+# Margin on the compensated-arithmetic error recovery (its own f32
+# roundings are relatively tiny; 1.25 is generous).
+_SLOP_MARGIN = 1.25
+
+
+def _two_prod_err(a, b):
+    """(fl(a*b), exact error fl(a*b) - a*b) via Dekker splitting
+    (f32 has 24 mantissa bits; 12/12 split keeps halves exact)."""
+    p = a * b
+    split = jnp.float32(4097.0)  # 2^12 + 1
+    ah = a * split
+    ah = ah - (ah - a)
+    al = a - ah
+    bh = b * split
+    bh = bh - (bh - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _coef_err(p1, e1, p2, e2):
+    """|fl(p1 - p2) - ((p1+e1) - (p2+e2))|: actual rounding of a
+    product-difference coefficient, via Knuth twoSum on (p1, -p2)."""
+    s = p1 - p2
+    t = s - p1
+    e_sub = (p1 - (s - t)) + ((-p2) - t)
+    return jnp.abs(e_sub + (e1 - e2))
 
 
 def _coverage_slop(tv):
@@ -99,19 +126,26 @@ def _coverage_slop(tv):
     (products of clip coords, see rasterize._edge_coeffs), not exact
     edge lines — so the coverable set is contained in
     ``{a_k >= -E_k for all k}`` where ``E_k`` bounds edge k's combined
-    construction + evaluation rounding over the screen. Displacing each
-    edge line by E_k moves each coverage-polytope vertex (the
+    construction + evaluation rounding over the screen. Displacing
+    each edge line by E_k moves each coverage-polytope vertex (the
     intersection of edge lines k, l) by at most
-    ``(E_k*|grad_l| + E_l*|grad_k|) / |cross(grad_k, grad_l)]``
+    ``(E_k*|grad_l| + E_l*|grad_k|) / |cross(grad_k, grad_l)|``
     (2x2 linear perturbation). The max over the three vertex pairs
-    bounds how far pixels the kernel can claim extend beyond the
+    bounds how far the pixels the kernel can claim extend beyond the
     projected triangle, so binning by AABB + slop is sound against the
-    kernel's own arithmetic. Healthy triangles get sub-0.01-px slop;
-    near-degenerate slivers blow up toward band/global segments (rare,
-    and exactly the shapes whose f32 polytope really does escape the
-    vertex AABB — the round-3 on-chip CSR 1-pixel divergence at 1M
-    tris was such a sliver). The near-clip cut / pw>0 / |pz|<=pw tests
-    only intersect (shrink) coverage, so edge pairs alone bound it.
+    kernel's own arithmetic.
+
+    E_k uses the ACTUAL construction rounding of each coefficient —
+    recovered exactly with Dekker twoProd + twoSum compensation
+    mirroring rasterize._edge_coeffs' expressions — plus the rigorous
+    evaluation bound 3*2^-24*(|c0|+|cx|+|cy|) for the kernel's
+    ``(c0 + cx*fx) + cy*fy`` at |fx|,|fy| <= 1. A worst-case magnitude
+    bound here (8*2^-24 * sum of product magnitudes, 2x safety) was
+    ~10x too fat: a 2048^2 1M-tri sphere got median 3 px of slop and
+    30% of records reclassified into the CSR global segment, tripling
+    the forward pass (benchmarks/results_r4.md). The near-clip cut /
+    pw>0 / |pz|<=pw tests only intersect (shrink) coverage, so edge
+    pairs alone bound it.
 
     Args:
       tv: [..., 3, 4] parent clip-space vertices.
@@ -123,12 +157,21 @@ def _coverage_slop(tv):
     def edge(j, k):
         xj, yj, wj = x[..., j], y[..., j], w[..., j]
         xk, yk, wk = x[..., k], y[..., k], w[..., k]
-        mag = (jnp.abs(xj * yk) + jnp.abs(xk * yj)
-               + jnp.abs(yj * wk) + jnp.abs(wj * yk)
-               + jnp.abs(wj * xk) + jnp.abs(xj * wk))
-        cx = yj * wk - wj * yk
-        cy = wj * xk - xj * wk
-        return _SLOP_KAPPA * mag, jnp.sqrt(cx * cx + cy * cy), cx, cy
+        # Mirror _edge_coeffs exactly: c0 = xj*yk - xk*yj, etc.
+        p0a, e0a = _two_prod_err(xj, yk)
+        p0b, e0b = _two_prod_err(xk, yj)
+        pxa, exa = _two_prod_err(yj, wk)
+        pxb, exb = _two_prod_err(wj, yk)
+        pya, eya = _two_prod_err(wj, xk)
+        pyb, eyb = _two_prod_err(xj, wk)
+        c0 = p0a - p0b
+        cx = pxa - pxb
+        cy = pya - pyb
+        err = (_coef_err(p0a, e0a, p0b, e0b)
+               + _coef_err(pxa, exa, pxb, exb)
+               + _coef_err(pya, eya, pyb, eyb))
+        ev = _SLOP_EVAL_KAPPA * (jnp.abs(c0) + jnp.abs(cx) + jnp.abs(cy))
+        return err + ev, jnp.sqrt(cx * cx + cy * cy), cx, cy
 
     e = [edge(1, 2), edge(2, 0), edge(0, 1)]
     slop = jnp.zeros(tv.shape[:-2], jnp.float32)
@@ -139,7 +182,7 @@ def _coverage_slop(tv):
         delta = jnp.where(d > 0, (ek * gl + el * gk)
                           / jnp.maximum(d, 1e-38), _BIG)
         slop = jnp.maximum(slop, delta)
-    return 2.0 * slop  # safety factor on the ulp accounting
+    return _SLOP_MARGIN * slop
 
 
 def _pixel_aabb(sub, ok, H, W, y0, Hf, slop=None):

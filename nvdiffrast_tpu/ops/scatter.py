@@ -32,16 +32,21 @@ _ONEHOT_MAX_ROWS = 16384
 # whose id window overlaps it (spatially coherent gradient streams
 # touch ~1 block per chunk).
 _PALLAS_MAX_ACC = 5 << 19
-# Resident-output-block budget (floats). Separate from (and smaller
-# than) _PALLAS_MAX_ACC: the block shares ~16 MB VMEM with the
-# double-buffered id/value inputs and the one-hot / hi-lo temporaries
-# (~5 MB at FK=48). A 10.5 MB block compiled only while the rest of
-# the kernel stayed tiny; at texture-gradient scale (NTe ~ 1.4M rows,
-# K=6) the old full-budget block overflowed VMEM and the remote
-# compile helper surfaced it as an opaque HTTP 500 (see
-# benchmarks/bisect_scatter.py and results_r4.md). 6.3 MB keeps
-# headroom while the remap still skips non-overlapping chunks.
-_PALLAS_BLK_ACC = 3 << 19
+# Output-block VMEM budget in BYTES, accounting for what the compiler
+# actually allocates: the FK value-row axis is sublane-padded to a
+# multiple of 8 (K=9 -> 16 rows, 1.78x), and with NB > 1 the output
+# block is PIPELINE-DOUBLE-BUFFERED (two copies on the scoped-vmem
+# stack; with NB == 1 the constant index map keeps one). The old
+# float-count budget ignored both and overflowed the ~16 MB VMEM at
+# texture-gradient scale (2 x 48 x 54528 x 4 B = 20.9 MB -> the
+# round-3 "bigtex bwd" Mosaic failure) and at big-mesh rasterize-bwd
+# scale (2 x 16 x 174720 x 4 B = 22.4 MB, bigmesh fwd+bwd at 261k
+# tris — exact error text in benchmarks/results_r4.md). 10 MB leaves
+# ~5 MB for the double-buffered id/value input blocks and the
+# one-hot / hi-lo temporaries.
+_PALLAS_OUT_BYTES = 10 << 20
+
+
 # SMEM budget for the per-(block, chunk) remap table of the row-blocked
 # path (int32 entries).
 _SCAT_REMAP_MAX = 1 << 15
@@ -59,6 +64,17 @@ _QW = 128
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _qrb_for(FK, QR):
+    """Output rows per block: largest _QW multiple whose resident
+    copies fit _PALLAS_OUT_BYTES (1 copy when the whole table fits a
+    single block, else 2 pipeline copies), on the sublane-padded FK."""
+    FKp = _cdiv(FK, 8) * 8
+    qrb1 = max(_PALLAS_OUT_BYTES // (4 * FKp) // _QW, 1) * _QW
+    if QR <= qrb1:
+        return qrb1
+    return max(_PALLAS_OUT_BYTES // (8 * FKp) // _QW, 1) * _QW
 
 
 def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
@@ -94,8 +110,8 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
     # sweep masks them out of the min/max range entirely.
     ids = jnp.where((ids >= 0) & (ids < num_rows), ids, Rf + F)
 
-    # Row blocks: the VMEM-resident output block holds FK * QRB floats.
-    QRB = min(QR, max(_PALLAS_BLK_ACC // FK // _QW, 1) * _QW)
+    # Row blocks sized to the real VMEM footprint (see _qrb_for).
+    QRB = min(QR, _qrb_for(FK, QR))
     NB = _cdiv(QR, QRB)
     n_win = QRB // _QW
 
@@ -302,7 +318,7 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto",
             return False
         FK = F * K
         QR = max(_cdiv(_cdiv(num_rows, F), _QW) * _QW, _QW)
-        QRB = min(QR, max(_PALLAS_BLK_ACC // FK // _QW, 1) * _QW)
+        QRB = min(QR, _qrb_for(FK, QR))
         NB = _cdiv(QR, QRB)
         return NB * _cdiv(N, _P_CHUNK) <= _SCAT_REMAP_MAX
 

@@ -116,12 +116,21 @@ def supported(C, n_texels, N, cube_mode, boundary_mode, force=False,
 # indexTextureLinear (texture_kernel.cu:368-472).
 # ---------------------------------------------------------------------------
 
+def _f32s(x):
+    """Python number or traced int scalar -> f32 (dynamic-meta safe)."""
+    if isinstance(x, (int, float)):
+        return jnp.float32(x)
+    return x.astype(jnp.float32)
+
+
 def corner_setup(u, v, hi, wi, boundary_mode):
-    """Bilinear corner addressing at one level (static hi, wi ints).
+    """Bilinear corner addressing at one level.
 
     Args:
       u, v: raw uv arrays (any shape).
-      hi, wi: level height/width (Python ints).
+      hi, wi: level height/width — Python ints, or traced int32
+        scalars when the kernel walks levels through the dynamic-meta
+        fori loop (see _build_kernel).
       boundary_mode: 'wrap' | 'clamp' | 'zero'.
 
     Returns (iu0, iu1, iv0, iv1, fu, fv, w4, ok4) where the integer
@@ -130,8 +139,8 @@ def corner_setup(u, v, hi, wi, boundary_mode):
     validity folded in, and ok4 are the validity masks as 0/1 floats
     (all ones for wrap/clamp).
     """
-    w = jnp.float32(wi)
-    h = jnp.float32(hi)
+    w = _f32s(wi)
+    h = _f32s(hi)
     if boundary_mode == "wrap":
         u = u - jnp.floor(u)
         v = v - jnp.floor(v)
@@ -617,17 +626,34 @@ def _gather_big(bref, rows4, cols4, wlp, active, C, q_ref, wscr_ref, sem):
     jax.lax.fori_loop(wmin2, wmax2 + 1, wbody, 0)
 
 
-def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0):
+# Walk the VMEM-resident mip tail with ONE fori_loop over SMEM level
+# metadata instead of unrolling per level: Mosaic compile time scaled
+# with the unroll (L=5: ~7 s, L=10-11: 240-296 s on chip — at the
+# compiler's limits, see benchmarks/results_r4.md), while the loop
+# body is level-agnostic (all per-level constants are 4 int32
+# scalars). HBM windowed-DMA levels keep their static unroll (each
+# binds a different ref; there are only 1-2).
+_DYN_LEVEL_LOOP = True
+
+
+def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
+                  dyn_levels=False):
     """mode: 'fwd' emits [C] filtered color; 'bwd' emits (gu, gv, gfl).
 
     meta_k: per level either ('vmem', off_rel, h, w) — packed into the
     VMEM-resident tail table — or ('hbm', big_idx, h, w, wlp) — an
     HBM-resident level gathered through windowed DMA (_gather_big).
     The per-pixel minibatch texture index tz arrives as an input array
-    so the kernel is minibatch-agnostic.
+    so the kernel is minibatch-agnostic. With dyn_levels the VMEM tail
+    is walked by a fori_loop reading (off_rel, h, w, h*w) rows from an
+    SMEM meta array (the kernel's first operand) instead of a static
+    unroll.
     """
+    split = n_big  # meta_k[:n_big] are the HBM levels, tail is VMEM
 
     def kernel(*refs):
+        if dyn_levels:
+            meta_ref, *refs = refs
         tbl_ref = refs[0]
         big_refs = refs[1:1 + n_big]
         rest = refs[1 + n_big:]
@@ -656,9 +682,11 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0):
             gv_ref[...] = jnp.zeros(u.shape, jnp.float32)
             gfl_ref[...] = jnp.zeros(u.shape, jnp.float32)
 
-        for lev in range(L):
-            ent = meta_k[lev]
-            hl, wl = ent[2], ent[3]
+        def level_term(lev, hbm_ent, off, hl, wl, hw):
+            """One mip level's filtered contribution. lev/off/hl/wl/hw
+            are Python ints (static unroll) or traced int32 scalars
+            (dynamic-meta loop); hbm_ent selects the windowed-DMA
+            gather for HBM-resident levels."""
             on0 = l0 == lev
             on1 = l1 == lev
             active = on0 | on1
@@ -669,12 +697,12 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0):
 
             setup = corner_setup(u, v, hl, wl, boundary_mode)
             # tz is block-constant (blocks never straddle images).
-            if ent[0] == "hbm":
-                _gather_big_2d(big_refs[ent[1]], setup, tz[0, 0], hl,
-                               wl, ent[4], active, C, q_ref, wscr_ref,
+            if hbm_ent is not None:
+                _gather_big_2d(big_refs[hbm_ent[1]], setup, tz[0, 0], hl,
+                               wl, hbm_ent[4], active, C, q_ref, wscr_ref,
                                sem)
             else:
-                base_s = ent[1] + tz[0, 0] * (hl * wl)
+                base_s = off + tz[0, 0] * hw
                 _gather_corners(tbl_ref, setup, base_s, wl, active, C,
                                 q_ref)
             fu, fv, w4, ok4 = setup[4], setup[5], setup[6], setup[7]
@@ -717,15 +745,32 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0):
                     gl = gl + dy[c] * val
                 # fu = u * wl - 0.5 (wrap/zero) -> d fu/du = wl; clamp
                 # edges zero the derivative through q10 == q00 instead.
-                gu_ref[...] = gu_ref[...] + jnp.where(active,
-                                                      wgt * gu * wl, 0.0)
-                gv_ref[...] = gv_ref[...] + jnp.where(active,
-                                                      wgt * gv * hl, 0.0)
+                gu_ref[...] = gu_ref[...] + jnp.where(
+                    active, wgt * gu * _f32s(wl), 0.0)
+                gv_ref[...] = gv_ref[...] + jnp.where(
+                    active, wgt * gv * _f32s(hl), 0.0)
                 # d out/d flevel = val(l1) - val(l0).
                 dwdf = (jnp.where(on1, 1.0, 0.0)
                         - jnp.where(on0, 1.0, 0.0))
                 gfl_ref[...] = gfl_ref[...] + jnp.where(active, dwdf * gl,
                                                         0.0)
+
+        for lev in range(split):  # HBM levels: static (distinct refs)
+            ent = meta_k[lev]
+            level_term(lev, ent, None, ent[2], ent[3], None)
+
+        if dyn_levels and L > split:
+            def lbody(lev, carry):
+                level_term(lev, None, meta_ref[lev, 0], meta_ref[lev, 1],
+                           meta_ref[lev, 2], meta_ref[lev, 3])
+                return carry
+
+            jax.lax.fori_loop(split, L, lbody, 0)
+        else:
+            for lev in range(split, L):
+                ent = meta_k[lev]
+                level_term(lev, None, ent[1], ent[2], ent[3],
+                           ent[2] * ent[3])
 
     return kernel
 
@@ -776,7 +821,18 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
                             memory_space=pltpu.VMEM)
     big_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    in_specs = [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 4
+    dyn_levels = _DYN_LEVEL_LOOP and L > len(bigs)
+    meta_in = []
+    in_specs = []
+    if dyn_levels:
+        # (off_rel, h, w, h*w) per level for the kernel's fori walk of
+        # the VMEM tail (HBM-level rows are present but unused).
+        meta_in = [jnp.asarray(
+            [[ent[1] if ent[0] == "vmem" else 0, ent[2], ent[3],
+              ent[2] * ent[3]] for ent in meta_k], dtype=jnp.int32)]
+        in_specs.append(pl.BlockSpec((L, 4), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+    in_specs += [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 4
     if mode == "bwd":
         in_specs.append(chan_spec)
         out_specs = [flat_spec] * 3
@@ -793,7 +849,8 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
                     pltpu.SemaphoreType.DMA((2,))]
 
     kernel = _build_kernel(mode, C, L, tuple(meta_k), boundary_mode,
-                           filter_mode, n_big=len(bigs))
+                           filter_mode, n_big=len(bigs),
+                           dyn_levels=dyn_levels)
     outs = pl.pallas_call(
         kernel,
         grid=(rows_p // BLKR,),
@@ -802,7 +859,7 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(tbl3, *bigs, *args)
+    )(*meta_in, tbl3, *bigs, *args)
 
     def unflat(a):
         return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
@@ -965,7 +1022,7 @@ def _wrap_corner_2d(face, ix, iy, w):
     corner = ix_out & iy_out
     inface = ~(ix_out | iy_out)
 
-    wf = jnp.float32(w)
+    wf = _f32s(w)
     s = (ix.astype(jnp.float32) + 0.5) / wf
     t = (iy.astype(jnp.float32) + 0.5) / wf
     dx, dy, dz = _face_dir_2d(face, s, t)
@@ -980,13 +1037,14 @@ def _wrap_corner_2d(face, ix, iy, w):
 
 
 def cube_corner_setup(s, t, face, wl):
-    """Bilinear corner addressing on a cube face of size wl (static).
+    """Bilinear corner addressing on a cube face of size wl (a Python
+    int, or a traced int32 scalar under the dynamic-meta level loop).
 
     Returns (rows4, cols4, ok4, fu, fv, w4): per-corner face-combined
     row index (face*wl + iy), column, validity (0/1 float), fractions,
     and bilinear weights WITHOUT validity folded (the average-of-3
     substitution needs them separate)."""
-    w = jnp.float32(wl)
+    w = _f32s(wl)
     u = s * w - 0.5
     v = t * w - 0.5
     iu0 = jnp.floor(u).astype(jnp.int32)
@@ -1011,11 +1069,18 @@ def cube_corner_setup(s, t, face, wl):
     return tuple(rows4), tuple(cols4), tuple(ok4), fu, fv, w4
 
 
-def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0):
+def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0,
+                       dyn_levels=False):
     """Cube sampler kernel. meta_k entries are ('vmem', off_rel, w) or
-    ('hbm', big_idx, w, wlp) per level (see _build_kernel)."""
+    ('hbm', big_idx, w, wlp) per level (see _build_kernel). With
+    dyn_levels the VMEM tail is walked by a fori_loop over an SMEM
+    (off_rel, w) meta array — same compile-size rationale as
+    _build_kernel."""
+    split = n_big
 
     def kernel(*refs):
+        if dyn_levels:
+            meta_ref, *refs = refs
         tbl_ref = refs[0]
         big_refs = refs[1:1 + n_big]
         rest = refs[1 + n_big:]
@@ -1047,9 +1112,9 @@ def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0):
             gt_ref[...] = jnp.zeros(sv.shape, jnp.float32)
             gfl_ref[...] = jnp.zeros(sv.shape, jnp.float32)
 
-        for lev in range(L):
-            ent = meta_k[lev]
-            wl = ent[2]
+        def level_term(lev, hbm_ent, off, wl):
+            """One cube mip level (static or dynamic meta — see
+            _build_kernel.level_term)."""
             on0 = l0 == lev
             on1 = l1 == lev
             active = (on0 | on1) & finite
@@ -1060,11 +1125,11 @@ def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0):
                 sv, tv, face, wl)
             # Face rows ride tz * 6 faces per image.
             rows4 = tuple(tz[0, 0] * (6 * wl) + r for r in rows4)
-            if ent[0] == "hbm":
-                _gather_big(big_refs[ent[1]], rows4, cols4, ent[3],
-                            active, C, q_ref, wscr_ref, sem)
+            if hbm_ent is not None:
+                _gather_big(big_refs[hbm_ent[1]], rows4, cols4,
+                            hbm_ent[3], active, C, q_ref, wscr_ref, sem)
             else:
-                _gather_rc(tbl_ref, rows4, cols4, ent[1], wl, active, C,
+                _gather_rc(tbl_ref, rows4, cols4, off, wl, active, C,
                            q_ref)
 
             # Average-of-3 substitution for missing cube corners
@@ -1098,14 +1163,29 @@ def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0):
                     gu = gu + dy[c] * dqu
                     gvv = gvv + dy[c] * dqv
                     gl = gl + dy[c] * val
-                gs_ref[...] = gs_ref[...] + jnp.where(active,
-                                                      wgt * gu * wl, 0.0)
-                gt_ref[...] = gt_ref[...] + jnp.where(active,
-                                                      wgt * gvv * wl, 0.0)
+                gs_ref[...] = gs_ref[...] + jnp.where(
+                    active, wgt * gu * _f32s(wl), 0.0)
+                gt_ref[...] = gt_ref[...] + jnp.where(
+                    active, wgt * gvv * _f32s(wl), 0.0)
                 dwdf = (jnp.where(on1, 1.0, 0.0)
                         - jnp.where(on0, 1.0, 0.0))
                 gfl_ref[...] = gfl_ref[...] + jnp.where(
                     active, dwdf * gl, 0.0)
+
+        for lev in range(split):  # HBM levels: static (distinct refs)
+            ent = meta_k[lev]
+            level_term(lev, ent, None, ent[2])
+
+        if dyn_levels and L > split:
+            def lbody(lev, carry):
+                level_term(lev, None, meta_ref[lev, 0], meta_ref[lev, 1])
+                return carry
+
+            jax.lax.fori_loop(split, L, lbody, 0)
+        else:
+            for lev in range(split, L):
+                ent = meta_k[lev]
+                level_term(lev, None, ent[1], ent[2])
 
     return kernel
 
@@ -1156,7 +1236,16 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
                             memory_space=pltpu.VMEM)
     big_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    in_specs = [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 6
+    dyn_levels = _DYN_LEVEL_LOOP and L > len(bigs)
+    meta_in = []
+    in_specs = []
+    if dyn_levels:
+        meta_in = [jnp.asarray(
+            [[ent[1] if ent[0] == "vmem" else 0, ent[2]]
+             for ent in meta_k], dtype=jnp.int32)]
+        in_specs.append(pl.BlockSpec((L, 2), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+    in_specs += [tbl_spec] + [big_spec] * len(bigs) + [flat_spec] * 6
     if mode == "bwd":
         in_specs.append(chan_spec)
         out_specs = [flat_spec] * 3
@@ -1173,7 +1262,7 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
                     pltpu.SemaphoreType.DMA((2,))]
 
     kernel = _build_cube_kernel(mode, C, L, tuple(meta_k), filter_mode,
-                                n_big=len(bigs))
+                                n_big=len(bigs), dyn_levels=dyn_levels)
     outs = pl.pallas_call(
         kernel,
         grid=(rows_p // BLKR,),
@@ -1182,7 +1271,7 @@ def _call_cube(mode, flat_cm, s, t, flevel, finite, face, tz, dy_cm, meta,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(tbl3, *bigs, *args)
+    )(*meta_in, tbl3, *bigs, *args)
 
     def unflat(a):
         return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
