@@ -15,11 +15,15 @@ cost:
 Usage: PYTHONPATH=.:~/.axon_site python benchmarks/profile_binning.py
 """
 
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from bench import _measure  # window-difference timing (cancels RTT)
 
 from nvdiffrast_tpu.ops import rasterize_pallas as rp
 from nvdiffrast_tpu.ops.rasterize import rasterize
@@ -27,14 +31,14 @@ from nvdiffrast_tpu.models import primitives
 from nvdiffrast_tpu.utils import camera
 
 
-def timeit(fn, args_list, iters=8):
-    jax.block_until_ready(fn(*args_list[0]))
-    t0 = time.perf_counter()
-    outs = [fn(*args_list[i % len(args_list)]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    # Force a host read so the axon tunnel really syncs.
-    float(jnp.sum(jax.tree.leaves(outs[-1])[0]))
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, args_list):
+    """Window-difference timing: see bench._measure. Each stage fn is
+    wrapped so argset i returns a tuple whose [0] is host-readable."""
+    def step(*a):
+        out = fn(*a)
+        leaf = jax.tree.leaves(out)[0]
+        return (leaf.ravel()[:1],)
+    return _measure(jax.jit(step), args_list)
 
 
 def main():
@@ -94,7 +98,7 @@ def main():
     for name, fn in (("records", records), ("aabb", aabb_of),
                      ("key+argsort", keysort), ("sort_records", sortrec),
                      ("csr_layout", csrlay), ("full fwd", fwd)):
-        dt = timeit(jax.jit(fn), [(p,) for p in poss])
+        dt = timeit(fn, [(p,) for p in poss])
         print(f"{name:14s} {dt * 1e3:8.2f} ms", flush=True)
     print("done", flush=True)
 
