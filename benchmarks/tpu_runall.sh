@@ -10,7 +10,8 @@
 # JAX_COMPILATION_CACHE_DIR).
 #
 # Usage:  bash benchmarks/tpu_runall.sh  [stage...]
-#   stages: smoke bench paths binning bigmesh bigtex scatbis bisect audit texpipe
+#   stages: smoke bench paths binning bigmesh bigtex scatbis bisect audit
+#           texpipe texk fusion
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:/root/.axon_site"
@@ -56,6 +57,10 @@ run bisect  3600 python benchmarks/bisect_bigtex.py 8 11 7
 run audit   2400 python benchmarks/audit_scatter.py
 # 7. Textured-pipeline stage profile.
 run texpipe 2400 python benchmarks/profile_texpipe.py
+# 7b. Texture-sampler axis-scaling micro-profile (which axis costs).
+run texk    2400 python benchmarks/profile_texkernel.py
+# 8. Headline-pipeline cumulative stage profile (where the 22 ms goes).
+run fusion  2400 python benchmarks/profile_fusion.py
 
 echo "=== all logs in $LOGDIR ==="
 grep -l "Traceback\|rc=1" "$LOGDIR"/*.log 2>/dev/null || true

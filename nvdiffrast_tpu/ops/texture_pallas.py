@@ -229,9 +229,10 @@ def lattice_setup(u, v, hi, wi, boundary_mode):
 
     The corner (du, dv) of pixel cells lives at texel (ju+du, jv+dv)
     pre-wrap/clamp; w4 is identical to corner_setup's (validity folded
-    in for 'zero')."""
-    w = jnp.float32(wi)
-    h = jnp.float32(hi)
+    in for 'zero'). hi/wi may be Python ints or per-pixel int32 arrays
+    (gathered level dims — see _sample_bwd)."""
+    w = _f32s(wi)
+    h = _f32s(hi)
     if boundary_mode == "wrap":
         u = u - jnp.floor(u)
         v = v - jnp.floor(v)
@@ -672,6 +673,12 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
         fl = fl_ref[...]
         tz = tz_ref[...]
         l0, l1, frac = level_weights(fl, L, filter_mode)
+        # Block-level active range: a 64x128 image tile's footprints
+        # span 2-4 mip levels; walking only [lmin, lmax] (and guarding
+        # each level on block activity) skips the corner setup + sweep
+        # bound math of every other level entirely.
+        lmin = jnp.min(l0)
+        lmax = jnp.max(l1)
 
         if mode == "fwd":
             for c in range(C):
@@ -690,70 +697,77 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
             on0 = l0 == lev
             on1 = l1 == lev
             active = on0 | on1
-            # Per-level blend weight: (1-frac) on l0 plus frac on l1;
-            # both when l0 == l1 (sum = 1).
-            wgt = (jnp.where(on0, 1.0 - frac, 0.0)
-                   + jnp.where(on1, frac, 0.0))
 
-            setup = corner_setup(u, v, hl, wl, boundary_mode)
-            # tz is block-constant (blocks never straddle images).
-            if hbm_ent is not None:
-                _gather_big_2d(big_refs[hbm_ent[1]], setup, tz[0, 0], hl,
-                               wl, hbm_ent[4], active, C, q_ref, wscr_ref,
-                               sem)
-            else:
-                base_s = off + tz[0, 0] * hw
-                _gather_corners(tbl_ref, setup, base_s, wl, active, C,
-                                q_ref)
-            fu, fv, w4, ok4 = setup[4], setup[5], setup[6], setup[7]
+            # Inactive levels contribute exact zeros — skipping the
+            # whole body preserves bit parity.
+            @pl.when(jnp.any(active))
+            def _level_body():
+                # Per-level blend weight: (1-frac) on l0 plus frac on
+                # l1; both when l0 == l1 (sum = 1).
+                wgt = (jnp.where(on0, 1.0 - frac, 0.0)
+                       + jnp.where(on1, frac, 0.0))
 
-            if mode == "fwd":
-                for c in range(C):
-                    val = (w4[0] * q_ref[4 * c + 0]
-                           + w4[1] * q_ref[4 * c + 1]
-                           + w4[2] * q_ref[4 * c + 2]
-                           + w4[3] * q_ref[4 * c + 3])
-                    out_ref[c] = out_ref[c] + jnp.where(active, wgt * val,
-                                                        0.0)
-            else:
-                zero_bm = boundary_mode == "zero"
-                gu = jnp.zeros(u.shape, jnp.float32)
-                gv = jnp.zeros(u.shape, jnp.float32)
-                gl = jnp.zeros(u.shape, jnp.float32)
-                for c in range(C):
-                    q00 = q_ref[4 * c + 0]
-                    q10 = q_ref[4 * c + 1]
-                    q01 = q_ref[4 * c + 2]
-                    q11 = q_ref[4 * c + 3]
-                    if zero_bm:
-                        # Invalid corners contribute 0 to the value and
-                        # to its uv derivative (w4 carries validity but
-                        # the derivative combos need masked values).
-                        q00 = q00 * ok4[0]
-                        q10 = q10 * ok4[1]
-                        q01 = q01 * ok4[2]
-                        q11 = q11 * ok4[3]
-                    # d(bilerp)/d(fu), d/d(fv):
-                    dqu = (1.0 - fv) * (q10 - q00) + fv * (q11 - q01)
-                    dqv = (1.0 - fu) * (q01 - q00) + fu * (q11 - q10)
-                    val = (w4[0] * q_ref[4 * c + 0]
-                           + w4[1] * q_ref[4 * c + 1]
-                           + w4[2] * q_ref[4 * c + 2]
-                           + w4[3] * q_ref[4 * c + 3])
-                    gu = gu + dy[c] * dqu
-                    gv = gv + dy[c] * dqv
-                    gl = gl + dy[c] * val
-                # fu = u * wl - 0.5 (wrap/zero) -> d fu/du = wl; clamp
-                # edges zero the derivative through q10 == q00 instead.
-                gu_ref[...] = gu_ref[...] + jnp.where(
-                    active, wgt * gu * _f32s(wl), 0.0)
-                gv_ref[...] = gv_ref[...] + jnp.where(
-                    active, wgt * gv * _f32s(hl), 0.0)
-                # d out/d flevel = val(l1) - val(l0).
-                dwdf = (jnp.where(on1, 1.0, 0.0)
-                        - jnp.where(on0, 1.0, 0.0))
-                gfl_ref[...] = gfl_ref[...] + jnp.where(active, dwdf * gl,
-                                                        0.0)
+                setup = corner_setup(u, v, hl, wl, boundary_mode)
+                # tz is block-constant (blocks never straddle images).
+                if hbm_ent is not None:
+                    _gather_big_2d(big_refs[hbm_ent[1]], setup, tz[0, 0],
+                                   hl, wl, hbm_ent[4], active, C, q_ref,
+                                   wscr_ref, sem)
+                else:
+                    base_s = off + tz[0, 0] * hw
+                    _gather_corners(tbl_ref, setup, base_s, wl, active, C,
+                                    q_ref)
+                fu, fv, w4, ok4 = setup[4], setup[5], setup[6], setup[7]
+
+                if mode == "fwd":
+                    for c in range(C):
+                        val = (w4[0] * q_ref[4 * c + 0]
+                               + w4[1] * q_ref[4 * c + 1]
+                               + w4[2] * q_ref[4 * c + 2]
+                               + w4[3] * q_ref[4 * c + 3])
+                        out_ref[c] = out_ref[c] + jnp.where(
+                            active, wgt * val, 0.0)
+                else:
+                    zero_bm = boundary_mode == "zero"
+                    gu = jnp.zeros(u.shape, jnp.float32)
+                    gv = jnp.zeros(u.shape, jnp.float32)
+                    gl = jnp.zeros(u.shape, jnp.float32)
+                    for c in range(C):
+                        q00 = q_ref[4 * c + 0]
+                        q10 = q_ref[4 * c + 1]
+                        q01 = q_ref[4 * c + 2]
+                        q11 = q_ref[4 * c + 3]
+                        if zero_bm:
+                            # Invalid corners contribute 0 to the value
+                            # and to its uv derivative (w4 carries
+                            # validity but the derivative combos need
+                            # masked values).
+                            q00 = q00 * ok4[0]
+                            q10 = q10 * ok4[1]
+                            q01 = q01 * ok4[2]
+                            q11 = q11 * ok4[3]
+                        # d(bilerp)/d(fu), d/d(fv):
+                        dqu = (1.0 - fv) * (q10 - q00) + fv * (q11 - q01)
+                        dqv = (1.0 - fu) * (q01 - q00) + fu * (q11 - q10)
+                        val = (w4[0] * q_ref[4 * c + 0]
+                               + w4[1] * q_ref[4 * c + 1]
+                               + w4[2] * q_ref[4 * c + 2]
+                               + w4[3] * q_ref[4 * c + 3])
+                        gu = gu + dy[c] * dqu
+                        gv = gv + dy[c] * dqv
+                        gl = gl + dy[c] * val
+                    # fu = u * wl - 0.5 (wrap/zero) -> d fu/du = wl;
+                    # clamp edges zero the derivative through
+                    # q10 == q00 instead.
+                    gu_ref[...] = gu_ref[...] + jnp.where(
+                        active, wgt * gu * _f32s(wl), 0.0)
+                    gv_ref[...] = gv_ref[...] + jnp.where(
+                        active, wgt * gv * _f32s(hl), 0.0)
+                    # d out/d flevel = val(l1) - val(l0).
+                    dwdf = (jnp.where(on1, 1.0, 0.0)
+                            - jnp.where(on0, 1.0, 0.0))
+                    gfl_ref[...] = gfl_ref[...] + jnp.where(
+                        active, dwdf * gl, 0.0)
 
         for lev in range(split):  # HBM levels: static (distinct refs)
             ent = meta_k[lev]
@@ -765,7 +779,8 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
                            meta_ref[lev, 2], meta_ref[lev, 3])
                 return carry
 
-            jax.lax.fori_loop(split, L, lbody, 0)
+            jax.lax.fori_loop(jnp.maximum(lmin, split),
+                              jnp.minimum(lmax, L - 1) + 1, lbody, 0)
         else:
             for lev in range(split, L):
                 ent = meta_k[lev]
@@ -928,27 +943,22 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
         slots = ((l0, 1.0 - frac), (l1, frac))
     else:
         slots = ((l0, jnp.ones_like(frac)),)
+    # Per-pixel level geometry via tiny [L]-table gathers instead of an
+    # L-deep cascade of full-image lattice_setups (the cascade was
+    # 2L elementwise setups over every pixel — measurable XLA glue at
+    # 4M pixels x L=10).
+    eoff_a = jnp.asarray([e[0] for e in emeta], jnp.int32)
+    hl_a = jnp.asarray([e[1] for e in emeta], jnp.int32)
+    wl_a = jnp.asarray([e[2] for e in emeta], jnp.int32)
     ids_parts = []
     vals_parts = []
     for lsel, lw in slots:
-        # Select per-pixel cell geometry by static-level cascade.
-        eid = ws = None
-        w4s = None
-        for lev in range(L):
-            eoff, hl, wl = emeta[lev]
-            on = lsel == lev
-            ju, jv, c_w = lattice_setup(ut, vt, hl, wl, boundary_mode)
-            we = wl + 2
-            e = (eoff + tzt * ((hl + 2) * we)
-                 + (jv + 1) * we + (ju + 1))
-            if eid is None:
-                eid = jnp.where(on, e, 0)
-                ws = jnp.where(on, we, 0)
-                w4s = [jnp.where(on, w, 0.0) for w in c_w]
-            else:
-                eid = jnp.where(on, e, eid)
-                ws = jnp.where(on, we, ws)
-                w4s = [jnp.where(on, w, p) for w, p in zip(c_w, w4s)]
+        hl = jnp.take(hl_a, lsel)
+        wl = jnp.take(wl_a, lsel)
+        ju, jv, w4s = lattice_setup(ut, vt, hl, wl, boundary_mode)
+        ws = wl + 2
+        eid = (jnp.take(eoff_a, lsel) + tzt * ((hl + 2) * ws)
+               + (jv + 1) * ws + (ju + 1))
         dlw = dyt * lw[None, :]  # [C, Np]
         for dv in (0, 1):  # cell row dv: corners (0, dv), (1, dv)
             ids_parts.append(eid + dv * ws)
@@ -1102,6 +1112,10 @@ def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0,
         face = face_ref[...]
         tz = tz_ref[...]
         l0, l1, frac = level_weights(fl, L, filter_mode)
+        # Block-level active range (see _build_kernel): only levels in
+        # [lmin, lmax] can have active pixels.
+        lmin = jnp.min(l0)
+        lmax = jnp.max(l1)
 
         if mode == "fwd":
             for c in range(C):
@@ -1118,59 +1132,65 @@ def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0,
             on0 = l0 == lev
             on1 = l1 == lev
             active = (on0 | on1) & finite
-            wgt = (jnp.where(on0, 1.0 - frac, 0.0)
-                   + jnp.where(on1, frac, 0.0))
 
-            rows4, cols4, ok4, fu, fv, w4 = cube_corner_setup(
-                sv, tv, face, wl)
-            # Face rows ride tz * 6 faces per image.
-            rows4 = tuple(tz[0, 0] * (6 * wl) + r for r in rows4)
-            if hbm_ent is not None:
-                _gather_big(big_refs[hbm_ent[1]], rows4, cols4,
-                            hbm_ent[3], active, C, q_ref, wscr_ref, sem)
-            else:
-                _gather_rc(tbl_ref, rows4, cols4, off, wl, active, C,
-                           q_ref)
+            @pl.when(jnp.any(active))
+            def _level_body():
+                wgt = (jnp.where(on0, 1.0 - frac, 0.0)
+                       + jnp.where(on1, frac, 0.0))
 
-            # Average-of-3 substitution for missing cube corners
-            # (texture_kernel.cu:591-639): q'_i = ok ? q : avg(ok q).
-            n_ok = jnp.maximum(ok4[0] + ok4[1] + ok4[2] + ok4[3], 1.0)
-            if mode == "fwd":
-                for c in range(C):
-                    q = [q_ref[4 * c + i] for i in range(4)]
-                    avg = (ok4[0] * q[0] + ok4[1] * q[1] + ok4[2] * q[2]
-                           + ok4[3] * q[3]) / n_ok
-                    qq = [jnp.where(ok4[i] > 0, q[i], avg)
-                          for i in range(4)]
-                    val = (w4[0] * qq[0] + w4[1] * qq[1]
-                           + w4[2] * qq[2] + w4[3] * qq[3])
-                    out_ref[c] = out_ref[c] + jnp.where(active, wgt * val,
-                                                        0.0)
-            else:
-                gu = jnp.zeros(sv.shape, jnp.float32)
-                gvv = jnp.zeros(sv.shape, jnp.float32)
-                gl = jnp.zeros(sv.shape, jnp.float32)
-                for c in range(C):
-                    q = [q_ref[4 * c + i] for i in range(4)]
-                    avg = (ok4[0] * q[0] + ok4[1] * q[1] + ok4[2] * q[2]
-                           + ok4[3] * q[3]) / n_ok
-                    qq = [jnp.where(ok4[i] > 0, q[i], avg)
-                          for i in range(4)]
-                    dqu = (1.0 - fv) * (qq[1] - qq[0]) + fv * (qq[3] - qq[2])
-                    dqv = (1.0 - fu) * (qq[2] - qq[0]) + fu * (qq[3] - qq[1])
-                    val = (w4[0] * qq[0] + w4[1] * qq[1]
-                           + w4[2] * qq[2] + w4[3] * qq[3])
-                    gu = gu + dy[c] * dqu
-                    gvv = gvv + dy[c] * dqv
-                    gl = gl + dy[c] * val
-                gs_ref[...] = gs_ref[...] + jnp.where(
-                    active, wgt * gu * _f32s(wl), 0.0)
-                gt_ref[...] = gt_ref[...] + jnp.where(
-                    active, wgt * gvv * _f32s(wl), 0.0)
-                dwdf = (jnp.where(on1, 1.0, 0.0)
-                        - jnp.where(on0, 1.0, 0.0))
-                gfl_ref[...] = gfl_ref[...] + jnp.where(
-                    active, dwdf * gl, 0.0)
+                rows4, cols4, ok4, fu, fv, w4 = cube_corner_setup(
+                    sv, tv, face, wl)
+                # Face rows ride tz * 6 faces per image.
+                rows4 = tuple(tz[0, 0] * (6 * wl) + r for r in rows4)
+                if hbm_ent is not None:
+                    _gather_big(big_refs[hbm_ent[1]], rows4, cols4,
+                                hbm_ent[3], active, C, q_ref, wscr_ref,
+                                sem)
+                else:
+                    _gather_rc(tbl_ref, rows4, cols4, off, wl, active, C,
+                               q_ref)
+
+                # Average-of-3 substitution for missing cube corners
+                # (texture_kernel.cu:591-639): q'_i = ok ? q : avg(ok q).
+                n_ok = jnp.maximum(ok4[0] + ok4[1] + ok4[2] + ok4[3], 1.0)
+                if mode == "fwd":
+                    for c in range(C):
+                        q = [q_ref[4 * c + i] for i in range(4)]
+                        avg = (ok4[0] * q[0] + ok4[1] * q[1]
+                               + ok4[2] * q[2] + ok4[3] * q[3]) / n_ok
+                        qq = [jnp.where(ok4[i] > 0, q[i], avg)
+                              for i in range(4)]
+                        val = (w4[0] * qq[0] + w4[1] * qq[1]
+                               + w4[2] * qq[2] + w4[3] * qq[3])
+                        out_ref[c] = out_ref[c] + jnp.where(
+                            active, wgt * val, 0.0)
+                else:
+                    gu = jnp.zeros(sv.shape, jnp.float32)
+                    gvv = jnp.zeros(sv.shape, jnp.float32)
+                    gl = jnp.zeros(sv.shape, jnp.float32)
+                    for c in range(C):
+                        q = [q_ref[4 * c + i] for i in range(4)]
+                        avg = (ok4[0] * q[0] + ok4[1] * q[1]
+                               + ok4[2] * q[2] + ok4[3] * q[3]) / n_ok
+                        qq = [jnp.where(ok4[i] > 0, q[i], avg)
+                              for i in range(4)]
+                        dqu = ((1.0 - fv) * (qq[1] - qq[0])
+                               + fv * (qq[3] - qq[2]))
+                        dqv = ((1.0 - fu) * (qq[2] - qq[0])
+                               + fu * (qq[3] - qq[1]))
+                        val = (w4[0] * qq[0] + w4[1] * qq[1]
+                               + w4[2] * qq[2] + w4[3] * qq[3])
+                        gu = gu + dy[c] * dqu
+                        gvv = gvv + dy[c] * dqv
+                        gl = gl + dy[c] * val
+                    gs_ref[...] = gs_ref[...] + jnp.where(
+                        active, wgt * gu * _f32s(wl), 0.0)
+                    gt_ref[...] = gt_ref[...] + jnp.where(
+                        active, wgt * gvv * _f32s(wl), 0.0)
+                    dwdf = (jnp.where(on1, 1.0, 0.0)
+                            - jnp.where(on0, 1.0, 0.0))
+                    gfl_ref[...] = gfl_ref[...] + jnp.where(
+                        active, dwdf * gl, 0.0)
 
         for lev in range(split):  # HBM levels: static (distinct refs)
             ent = meta_k[lev]
@@ -1181,7 +1201,8 @@ def _build_cube_kernel(mode, C, L, meta_k, filter_mode, n_big=0,
                 level_term(lev, None, meta_ref[lev, 0], meta_ref[lev, 1])
                 return carry
 
-            jax.lax.fori_loop(split, L, lbody, 0)
+            jax.lax.fori_loop(jnp.maximum(lmin, split),
+                              jnp.minimum(lmax, L - 1) + 1, lbody, 0)
         else:
             for lev in range(split, L):
                 ent = meta_k[lev]
@@ -1340,28 +1361,23 @@ def _sample_cube_bwd(meta, L, filter_mode, shape, interpret, saved, dy):
     # lattice-regular (no apron trick); still, all corner streams of
     # all mip slots are concatenated into ONE scatter call — one VMEM
     # accumulator init and no inter-call table adds.
+    # Per-pixel level geometry from tiny [L]-table gathers (see
+    # _sample_bwd — replaces the L-deep full-image cascade; the cube
+    # wrap machinery in cube_corner_setup is array-dim safe).
+    off_a = jnp.asarray([m[0] for m in meta[:L]], jnp.int32)
+    wl_a = jnp.asarray([m[1] for m in meta[:L]], jnp.int32)
     ids_parts = []
     vals_parts = []
     for lsel, lw in slots:
-        ids4 = None
-        w4s = None
-        for lev in range(L):
-            off, wl, _ = meta[lev]
-            on = lsel == lev
-            rows4, cols4, ok4, fu, fv, w4 = cube_corner_setup(
-                st_, tt_, facet, wl)
-            inv_w = sum(w4[i] * (1.0 - ok4[i]) for i in range(4))
-            n_ok = jnp.maximum(ok4[0] + ok4[1] + ok4[2] + ok4[3], 1.0)
-            base = off + tzt * (6 * wl * wl)
-            c_ids = [base + rows4[i] * wl + cols4[i] for i in range(4)]
-            c_w = [(w4[i] * ok4[i] + ok4[i] / n_ok * inv_w)
-                   * fint.astype(jnp.float32) for i in range(4)]
-            if ids4 is None:
-                ids4 = [jnp.where(on, i, 0) for i in c_ids]
-                w4s = [jnp.where(on, w, 0.0) for w in c_w]
-            else:
-                ids4 = [jnp.where(on, i, p) for i, p in zip(c_ids, ids4)]
-                w4s = [jnp.where(on, w, p) for w, p in zip(c_w, w4s)]
+        wl = jnp.take(wl_a, lsel)
+        rows4, cols4, ok4, fu, fv, w4 = cube_corner_setup(
+            st_, tt_, facet, wl)
+        inv_w = sum(w4[i] * (1.0 - ok4[i]) for i in range(4))
+        n_ok = jnp.maximum(ok4[0] + ok4[1] + ok4[2] + ok4[3], 1.0)
+        base = jnp.take(off_a, lsel) + tzt * (6 * wl * wl)
+        ids4 = [base + rows4[i] * wl + cols4[i] for i in range(4)]
+        w4s = [(w4[i] * ok4[i] + ok4[i] / n_ok * inv_w)
+               * fint.astype(jnp.float32) for i in range(4)]
         for corner in range(4):
             ids_parts.append(ids4[corner])
             vals_parts.append(dyt * (w4s[corner] * lw)[None, :])
