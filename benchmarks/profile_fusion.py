@@ -91,6 +91,79 @@ def main():
     line("f+b: raster+interp", _measure(jax.jit(g_no_aa), argsets))
     line("f+b: raster+interp+aa (STEP)", _measure(jax.jit(g_full), argsets))
 
+    # --- fused render_pipeline internals ------------------------------
+    # The headline runs ops/pipeline.py (2 fwd kernels + 1 bwd kernel +
+    # MXU scatters); time each piece so optimization targets the real
+    # cost, not the composed-op proxy above.
+    from nvdiffrast_tpu.ops.pipeline import (
+        render_pipeline, _pipeline_fwd_core, _pipeline_bwd_core)
+    from nvdiffrast_tpu.ops import pipeline_pallas as pp
+    from nvdiffrast_tpu.ops.rasterize_pallas import rasterize_fused
+    from nvdiffrast_tpu.ops.scatter import scatter_add_by_id
+    from nvdiffrast_tpu.ops.topology import build_opposite_table
+
+    op_table = build_opposite_table(tri)
+
+    def fr_flat(p, c):
+        ranges = jnp.broadcast_to(jnp.array([[0, tri.shape[0]]],
+                                            jnp.int32), (1, 2))
+        outs = rasterize_fused(p, tri, (RES, RES), ranges,
+                               emit_db=False, flat=True)
+        return (jnp.sum(outs[0]),)
+
+    def f_pipe(p, c):
+        img = render_pipeline(p, tri, c, (RES, RES), attr_idx=cidx)
+        return (jnp.sum(img),)
+
+    def g_pipe(p, c):
+        def loss(p, c):
+            img = render_pipeline(p, tri, c, (RES, RES), attr_idx=cidx)
+            return jnp.mean(img ** 2)
+        return jax.grad(loss, argnums=(0, 1))(p, c)
+
+    line("fused: raster_fused flat (no db)", _measure(jax.jit(fr_flat),
+                                                      argsets))
+    line("fused: pipeline fwd", _measure(jax.jit(f_pipe), argsets))
+    line("fused: pipeline STEP (bench line)", _measure(jax.jit(g_pipe),
+                                                       argsets))
+
+    # Isolate the bwd kernel + the two scatters on realistic inputs.
+    A = col.shape[-1]
+    T = tri.shape[0]
+    N = RES * RES
+    color, saved = jax.jit(
+        lambda p, c: _pipeline_fwd_core(p, c, tri, cidx, op_table,
+                                        (RES, RES), "pallas"))(pos_clip,
+                                                               col)
+    dy = (2.0 / color.size) * color
+
+    def bwd_all(p, c, saved, dy):
+        return _pipeline_bwd_core(p, c, tri, cidx, op_table, (RES, RES),
+                                  "pallas", 1.0, saved, dy)
+
+    line("fused: bwd total (kernel+scatters)",
+         _measure(jax.jit(bwd_all), [(p, col, saved, dy) for p in pcs]))
+
+    # Scatters alone (same id/value shapes as the real backward).
+    b0f, b1f, idff, c0, res = saved
+    tid0 = idff.astype(jnp.int32) - 1
+    rid = jnp.where((tid0 >= 0) & (tid0 < T), tid0, 0)
+    gvr = jnp.stack([b0f * (i + 1) for i in range(3 * A + 9)])
+    rid2 = jnp.concatenate([rid, rid])
+    gval2 = jnp.stack([jnp.concatenate([b0f, b1f]) * (i + 1)
+                       for i in range(9)])
+
+    def scats(rid, gvr, rid2, gval2):
+        g1 = scatter_add_by_id(rid, gvr, T)
+        g2 = scatter_add_by_id(rid2, gval2, T)
+        return g1, g2
+
+    line("fused: 2 grad scatters alone",
+         _measure(jax.jit(scats),
+                  [(rid, gvr * jnp.float32(1 + i * 1e-6),
+                    rid2, gval2 * jnp.float32(1 + i * 1e-6))
+                   for i in range(4)]))
+
 
 if __name__ == "__main__":
     main()

@@ -130,16 +130,25 @@ def shade_fwd(atbl, ftable, b0, b1, zw, idf, fx, fy, rofs, bx, by,
         tid0 = id0.astype(jnp.int32) - 1
         valid = (tid0 >= 0) & (tid0 < T)
         rid0 = jnp.where(valid, tid0, 0) + ro
-        _masked_gather(atbl_ref, rid0, valid, K,
-                       [_Sub(g_ref, k) for k in range(K)])
-        bb0 = jnp.where(valid, b0_ref[...], 0.0)
-        bb1 = jnp.where(valid, b1_ref[...], 0.0)
-        bb2 = jnp.where(valid, 1.0 - b0_ref[...] - b1_ref[...], 0.0)
-        c0 = [bb0 * g_ref[a] + bb1 * g_ref[A + a] + bb2 * g_ref[2 * A + a]
-              for a in range(A)]
+        zero = jnp.zeros(id0.shape, jnp.float32)
         for a in range(A):
-            c0_ref[a] = c0[a]
-            out_ref[a] = c0[a]
+            c0_ref[a] = zero
+            out_ref[a] = zero
+
+        # Background-only blocks (no covered pixel) write exact zeros;
+        # skip the gather + combine outright.
+        @pl.when(jnp.any(valid))
+        def _interp():
+            _masked_gather(atbl_ref, rid0, valid, K,
+                           [_Sub(g_ref, k) for k in range(K)])
+            bb0 = jnp.where(valid, b0_ref[...], 0.0)
+            bb1 = jnp.where(valid, b1_ref[...], 0.0)
+            bb2 = jnp.where(valid, 1.0 - b0_ref[...] - b1_ref[...], 0.0)
+            for a in range(A):
+                c0 = (bb0 * g_ref[a] + bb1 * g_ref[A + a]
+                      + bb2 * g_ref[2 * A + a])
+                c0_ref[a] = c0
+                out_ref[a] = c0
 
         # --- antialias: both axes ---------------------------------------
         for d, (i1_ref, z1_ref, b0n_ref, b1n_ref, neg_ref, al_ref,
@@ -150,35 +159,47 @@ def shade_fwd(atbl, ftable, b0, b1, zw, idf, fx, fy, rofs, bx, by,
                   ax1_ref))):
             id1 = i1_ref[...]
             tid, is_t1, active = pair_ids(id0, id1, zz0, z1_ref[...], T)
-            rid = tid + ro
-            _masked_gather(ftbl_ref, rid, active,
-                           7, [_Sub(t7_ref, k) for k in range(7)])
-            t7v = [t7_ref[k] for k in range(7)]
-            alpha, di = pair_alpha(t7v, fxv, fyv, is_t1, active, d)
-
-            # Neighbor color: re-interpolate from the neighbor's
-            # (id, bary) — exactly the rolled color of the composed
-            # path (the neighbor pixel's own interpolation result).
-            tid1 = id1.astype(jnp.int32) - 1
-            nvalid = (tid1 >= 0) & (tid1 < T)
-            rid1 = jnp.where(nvalid, tid1, 0) + ro
-            _masked_gather(atbl_ref, rid1, active & nvalid, K,
-                           [_Sub(g_ref, k) for k in range(K)])
-            nb0 = jnp.where(nvalid, b0n_ref[...], 0.0)
-            nb1 = jnp.where(nvalid, b1n_ref[...], 0.0)
-            nb2 = jnp.where(nvalid, 1.0 - b0n_ref[...] - b1n_ref[...],
-                            0.0)
-
-            apos = alpha > 0
             for a in range(A):
-                c1 = (nb0 * g_ref[a] + nb1 * g_ref[A + a]
-                      + nb2 * g_ref[2 * A + a])
-                contrib = alpha * (c1 - c0[a])
-                out_ref[a] = out_ref[a] + jnp.where(apos, contrib, 0.0)
-                neg_ref[a] = jnp.where(apos, 0.0, contrib)
-            al_ref[...] = alpha
-            ax_ref[...] = (di.astype(jnp.float32)
-                           + 4.0 * is_t1.astype(jnp.float32))
+                neg_ref[a] = zero
+            al_ref[...] = zero
+            ax_ref[...] = zero
+
+            # Pair analysis only where the block actually contains a
+            # discontinuity (alpha = 0 elsewhere; aux is consumed only
+            # where al != 0) — same guard as aa_forward_fused.
+            @pl.when(jnp.any(active))
+            def _analysis(d=d, b0n_ref=b0n_ref, b1n_ref=b1n_ref,
+                          neg_ref=neg_ref, al_ref=al_ref, ax_ref=ax_ref,
+                          id1=id1, tid=tid, is_t1=is_t1, active=active):
+                rid = tid + ro
+                _masked_gather(ftbl_ref, rid, active,
+                               7, [_Sub(t7_ref, k) for k in range(7)])
+                t7v = [t7_ref[k] for k in range(7)]
+                alpha, di = pair_alpha(t7v, fxv, fyv, is_t1, active, d)
+
+                # Neighbor color: re-interpolate from the neighbor's
+                # (id, bary) — exactly the rolled color of the composed
+                # path (the neighbor pixel's own interpolation result).
+                tid1 = id1.astype(jnp.int32) - 1
+                nvalid = (tid1 >= 0) & (tid1 < T)
+                rid1 = jnp.where(nvalid, tid1, 0) + ro
+                _masked_gather(atbl_ref, rid1, active & nvalid, K,
+                               [_Sub(g_ref, k) for k in range(K)])
+                nb0 = jnp.where(nvalid, b0n_ref[...], 0.0)
+                nb1 = jnp.where(nvalid, b1n_ref[...], 0.0)
+                nb2 = jnp.where(nvalid, 1.0 - b0n_ref[...] - b1n_ref[...],
+                                0.0)
+
+                apos = alpha > 0
+                for a in range(A):
+                    c1 = (nb0 * g_ref[a] + nb1 * g_ref[A + a]
+                          + nb2 * g_ref[2 * A + a])
+                    contrib = alpha * (c1 - c0_ref[a])
+                    out_ref[a] = out_ref[a] + jnp.where(apos, contrib, 0.0)
+                    neg_ref[a] = jnp.where(apos, 0.0, contrib)
+                al_ref[...] = alpha
+                ax_ref[...] = (di.astype(jnp.float32)
+                               + 4.0 * is_t1.astype(jnp.float32))
 
     grid = (rows_p // BLKR,)
     flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),
@@ -322,6 +343,7 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
 
         # --- AA backward (antialias.cu:387-556) -------------------------
         gc = [dy0[c] for c in range(A)]  # running g_color per channel
+        zero = jnp.zeros(id0.shape, jnp.float32)
         for d, (i1_ref, c1_ref, dy1_ref, gv_ref, rid_ref, al_ref,
                 ax_ref) in enumerate(
                 ((ix_ref, c0x_ref, dyx_ref, gv0_ref, rid0_ref, al0_ref,
@@ -329,31 +351,45 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
                  (iy_ref, c0y_ref, dyy_ref, gv1_ref, rid1_ref, al1_ref,
                   ax1_ref))):
             al = al_ref[...]
-            di, is_t1 = decode_aux(ax_ref[...])
-            active = al != 0.0
-            idfs = jnp.where(is_t1, i1_ref[...], id0)
-            tsel = idfs.astype(jnp.int32) - 1
-            ok = active & (tsel >= 0) & (tsel < T)
-            tid = jnp.where(ok, tsel, 0)
-            rid = tid + ro
-            rid_ref[...] = rid
-
-            _masked_gather(vtbl_ref, rid, ok,
-                           9, [_Sub(t9_ref, k) for k in range(9)])
-            t9v = [t9_ref[k] for k in range(9)]
-
             apos = al > 0
-            dd = jnp.zeros_like(al)
+            # Color-gradient update is cheap elementwise and exact (an
+            # identity where al == 0); only the pair replay (gathers +
+            # analytic position grads) is guarded on block activity.
+            pdy = [jnp.where(apos, dy0[c], dy1_ref[c]) for c in range(A)]
             for c in range(A):
-                pdy = jnp.where(apos, dy0[c], dy1_ref[c])
-                gc[c] = gc[c] - al * pdy
-                dd = dd + pdy * (c1_ref[c] - c0[c])
-            dd = jnp.where(active, dd, 0.0)
-            keep = ok & (dd != 0.0) & (jnp.abs(al) < 0.5)
-            cols = pair_pos_grad(t9v, dd, keep, di, is_t1, fxv, fyv,
-                                 d, W, Hf)
+                gc[c] = gc[c] - al * pdy[c]
+            rid_ref[...] = ro + jnp.zeros(id0.shape, jnp.int32)
             for k in range(9):
-                gv_ref[k] = cols[k]
+                gv_ref[k] = zero
+
+            # Silhouette pairs are sparse: blocks whose recorded alpha
+            # is all-zero contribute exact zeros — skip the replay.
+            @pl.when(jnp.any(al != 0.0))
+            def _replay(d=d, i1_ref=i1_ref, c1_ref=c1_ref, pdy=pdy,
+                        gv_ref=gv_ref, rid_ref=rid_ref, al=al,
+                        ax_ref=ax_ref):
+                di, is_t1 = decode_aux(ax_ref[...])
+                active = al != 0.0
+                idfs = jnp.where(is_t1, i1_ref[...], id0)
+                tsel = idfs.astype(jnp.int32) - 1
+                ok = active & (tsel >= 0) & (tsel < T)
+                tid = jnp.where(ok, tsel, 0)
+                rid = tid + ro
+                rid_ref[...] = rid
+
+                _masked_gather(vtbl_ref, rid, ok,
+                               9, [_Sub(t9_ref, k) for k in range(9)])
+                t9v = [t9_ref[k] for k in range(9)]
+
+                dd = jnp.zeros_like(al)
+                for c in range(A):
+                    dd = dd + pdy[c] * (c1_ref[c] - c0[c])
+                dd = jnp.where(active, dd, 0.0)
+                keep = ok & (dd != 0.0) & (jnp.abs(al) < 0.5)
+                cols = pair_pos_grad(t9v, dd, keep, di, is_t1, fxv, fyv,
+                                     d, W, Hf)
+                for k in range(9):
+                    gv_ref[k] = cols[k]
 
         # Cross-pixel roll contributions reconstructed locally from
         # backward-shifted alpha/dy: v[p - s] depends only on
@@ -370,71 +406,76 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
         tid0 = id0.astype(jnp.int32) - 1
         valid = (tid0 >= 0) & (tid0 < T)
         rid0v = jnp.where(valid, tid0, 0) + ro
-        _masked_gather(atbl_ref, rid0v, valid, K,
-                       [_Sub(g_ref, k) for k in range(K)])
-        bb0 = jnp.where(valid, b0_ref[...], 0.0)
-        bb1 = jnp.where(valid, b1_ref[...], 0.0)
-        bb2 = jnp.where(valid, 1.0 - b0_ref[...] - b1_ref[...], 0.0)
+        for k in range(K + 9):
+            gvr_ref[k] = zero
 
-        zero = jnp.zeros_like(fxv)
-        gb0 = zero
-        gb1 = zero
-        for a in range(A):
-            gb0 = gb0 + gc[a] * (g_ref[a] - g_ref[2 * A + a])
-            gb1 = gb1 + gc[a] * (g_ref[A + a] - g_ref[2 * A + a])
-        for a in range(A):
-            gvr_ref[a] = jnp.where(valid, bb0 * gc[a], 0.0)
-            gvr_ref[A + a] = jnp.where(valid, bb1 * gc[a], 0.0)
-            gvr_ref[2 * A + a] = jnp.where(valid, bb2 * gc[a], 0.0)
+        # Background-only blocks produce exact zero gradient rows.
+        @pl.when(jnp.any(valid))
+        def _grad_body():
+            _masked_gather(atbl_ref, rid0v, valid, K,
+                           [_Sub(g_ref, k) for k in range(K)])
+            bb0 = jnp.where(valid, b0_ref[...], 0.0)
+            bb1 = jnp.where(valid, b1_ref[...], 0.0)
+            bb2 = jnp.where(valid, 1.0 - b0_ref[...] - b1_ref[...], 0.0)
 
-        # --- rasterize backward (rasterize.cu:119-273, no db) -----------
-        _masked_gather(vtbl_ref, rid0v, valid,
-                       9, [_Sub(t9_ref, k) for k in range(9)])
-        x0 = t9_ref[0]
-        y0 = t9_ref[1]
-        w0 = t9_ref[2]
-        x1 = t9_ref[3]
-        y1 = t9_ref[4]
-        w1 = t9_ref[5]
-        x2 = t9_ref[6]
-        y2 = t9_ref[7]
-        w2 = t9_ref[8]
+            gb0 = zero
+            gb1 = zero
+            for a in range(A):
+                gb0 = gb0 + gc[a] * (g_ref[a] - g_ref[2 * A + a])
+                gb1 = gb1 + gc[a] * (g_ref[A + a] - g_ref[2 * A + a])
+            for a in range(A):
+                gvr_ref[a] = jnp.where(valid, bb0 * gc[a], 0.0)
+                gvr_ref[A + a] = jnp.where(valid, bb1 * gc[a], 0.0)
+                gvr_ref[2 * A + a] = jnp.where(valid, bb2 * gc[a], 0.0)
 
-        fxc = fxv * xs  # image-centered pixel units -> clip space
-        fyc = fyv * ys
-        p0x = x0 - fxc * w0
-        p0y = y0 - fyc * w0
-        p1x = x1 - fxc * w1
-        p1y = y1 - fyc * w1
-        p2x = x2 - fxc * w2
-        p2y = y2 - fyc * w2
+            # --- rasterize backward (rasterize.cu:119-273, no db) -------
+            _masked_gather(vtbl_ref, rid0v, valid,
+                           9, [_Sub(t9_ref, k) for k in range(9)])
+            x0 = t9_ref[0]
+            y0 = t9_ref[1]
+            w0 = t9_ref[2]
+            x1 = t9_ref[3]
+            y1 = t9_ref[4]
+            w1 = t9_ref[5]
+            x2 = t9_ref[6]
+            y2 = t9_ref[7]
+            w2 = t9_ref[8]
 
-        a0 = p1x * p2y - p1y * p2x
-        a1 = p2x * p0y - p2y * p0x
-        a2 = p0x * p1y - p0y * p1x
-        at = a0 + a1 + a2
-        ep = jnp.where(at >= 0, 1e-6, -1e-6)
-        iw = 1.0 / (at + ep)
-        rb0 = a0 * iw
-        rb1 = a1 * iw
+            fxc = fxv * xs  # image-centered pixel units -> clip space
+            fyc = fyv * ys
+            p0x = x0 - fxc * w0
+            p0y = y0 - fyc * w0
+            p1x = x1 - fxc * w1
+            p1y = y1 - fyc * w1
+            p2x = x2 - fxc * w2
+            p2y = y2 - fyc * w2
 
-        gB0 = gb0 * iw
-        gB1 = gb1 * iw
-        gbb = gB0 * rb0 + gB1 * rb1
-        gp0x = gbb * (p2y - p1y) - gB1 * p2y
-        gp1x = gbb * (p0y - p2y) + gB0 * p2y
-        gp2x = gbb * (p1y - p0y) - gB0 * p1y + gB1 * p0y
-        gp0y = gbb * (p1x - p2x) + gB1 * p2x
-        gp1y = gbb * (p2x - p0x) - gB0 * p2x
-        gp2y = gbb * (p0x - p1x) + gB0 * p1x - gB1 * p0x
-        gp0w = -fxc * gp0x - fyc * gp0y
-        gp1w = -fxc * gp1x - fyc * gp1y
-        gp2w = -fxc * gp2x - fyc * gp2y
+            a0 = p1x * p2y - p1y * p2x
+            a1 = p2x * p0y - p2y * p0x
+            a2 = p0x * p1y - p0y * p1x
+            at = a0 + a1 + a2
+            ep = jnp.where(at >= 0, 1e-6, -1e-6)
+            iw = 1.0 / (at + ep)
+            rb0 = a0 * iw
+            rb1 = a1 * iw
 
-        cols = [gp0x, gp0y, gp0w, gp1x, gp1y, gp1w, gp2x, gp2y, gp2w]
-        for k in range(9):
-            v = cols[k]
-            gvr_ref[K + k] = jnp.where(valid & jnp.isfinite(v), v, 0.0)
+            gB0 = gb0 * iw
+            gB1 = gb1 * iw
+            gbb = gB0 * rb0 + gB1 * rb1
+            gp0x = gbb * (p2y - p1y) - gB1 * p2y
+            gp1x = gbb * (p0y - p2y) + gB0 * p2y
+            gp2x = gbb * (p1y - p0y) - gB0 * p1y + gB1 * p0y
+            gp0y = gbb * (p1x - p2x) + gB1 * p2x
+            gp1y = gbb * (p2x - p0x) - gB0 * p2x
+            gp2y = gbb * (p0x - p1x) + gB0 * p1x - gB1 * p0x
+            gp0w = -fxc * gp0x - fyc * gp0y
+            gp1w = -fxc * gp1x - fyc * gp1y
+            gp2w = -fxc * gp2x - fyc * gp2y
+
+            cols = [gp0x, gp0y, gp0w, gp1x, gp1y, gp1w, gp2x, gp2y, gp2w]
+            for k in range(9):
+                v = cols[k]
+                gvr_ref[K + k] = jnp.where(valid & jnp.isfinite(v), v, 0.0)
 
     grid = (rows_p // BLKR,)
     flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),

@@ -77,7 +77,8 @@ def _qrb_for(FK, QR):
     return max(_PALLAS_OUT_BYTES // (8 * FKp) // _QW, 1) * _QW
 
 
-def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
+def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False,
+                    p_chunk=_P_CHUNK):
     """One-hot reduction with the one-hot tile built in VMEM.
 
     The XLA one-hot path materializes the [N, R/F] one-hot matrix in
@@ -100,6 +101,7 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
     Rf = _cdiv(num_rows, F) * F
     QR = max(_cdiv(Rf // F, _QW) * _QW, _QW)  # window-pad the row axis
     FK = F * K
+    _P_CHUNK = p_chunk
 
     n_chunks = _cdiv(N, _P_CHUNK)
     Np = n_chunks * _P_CHUNK
@@ -283,7 +285,7 @@ def _scatter_pallas(ids, vals_t, num_rows, F, interpret=False):
 
 
 def scatter_add_by_id(ids, vals_t, num_rows, method="auto",
-                      coherent=False):
+                      coherent=False, p_chunk=None):
     """out[r, k] = sum over i with ids[i] == r of vals_t[k, i].
 
     Args:
@@ -298,11 +300,18 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto",
         the row-blocked Pallas path on tables past the single-block
         accumulator budget: with random ids every chunk's id window
         spans every row block and the window sweep degenerates.
+      p_chunk: pixels per Pallas grid step (default _P_CHUNK). The
+        window sweep's one-hot/matmul overdraw scales with the id SPAN
+        of a chunk, so streams whose span grows with chunk size (e.g.
+        texel ids of an image tile) win from smaller chunks; streams
+        with tiny spans (triangle ids) amortize better with large ones.
 
     Returns:
       [R, K] float32.
     """
     K, N = vals_t.shape
+    if p_chunk is None:
+        p_chunk = _P_CHUNK
 
     # The kernel is VPU-bound (one-hot build + F-expanded value
     # block), not MXU-bound, so row folding only pays when K is
@@ -320,7 +329,7 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto",
         QR = max(_cdiv(_cdiv(num_rows, F), _QW) * _QW, _QW)
         QRB = min(QR, _qrb_for(FK, QR))
         NB = _cdiv(QR, QRB)
-        return NB * _cdiv(N, _P_CHUNK) <= _SCAT_REMAP_MAX
+        return NB * _cdiv(N, p_chunk) <= _SCAT_REMAP_MAX
 
     if method == "auto":
         if (jax.default_backend() == "tpu"
@@ -334,7 +343,8 @@ def scatter_add_by_id(ids, vals_t, num_rows, method="auto",
 
     if method in ("pallas", "pallas_interpret"):
         return _scatter_pallas(ids, vals_t, num_rows, F,
-                               interpret=(method == "pallas_interpret"))
+                               interpret=(method == "pallas_interpret"),
+                               p_chunk=p_chunk)
 
     if method == "scatter":
         safe = jnp.where((ids >= 0) & (ids < num_rows), ids, num_rows)

@@ -49,6 +49,11 @@ _MIN_N = 1 << 16  # below this XLA gather overhead is acceptable
 # uvs are image-tile coherent, so a 64x128 pixel block touches a
 # handful of windows per level.
 _WIN_ROWS = 8
+# Pixels per grid step of the texture-gradient MXU scatter. On-chip
+# A/B at bench shapes (benchmarks/profile_scatter.py: 42.12 ms at 8192
+# vs 42.45 at 4096) showed the id-span overdraw is not the scatter's
+# bottleneck; the default chunk wins on per-step overhead.
+_SCAT_P_CHUNK = 8192
 
 
 def _cdiv(a, b):
@@ -967,7 +972,8 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
                 axis=0))  # [2C, Np], du-major
     g_ext = scatter_add_by_id(
         jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
-        NTe, coherent=True).T  # [2C, NTe] (tile-ordered uvs -> sorted-ish)
+        NTe, coherent=True,
+        p_chunk=_SCAT_P_CHUNK).T  # [2C, NTe] (tile-ordered -> sorted-ish)
     g_flat = fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C)
 
     return (g_flat, gu, gv, gfl, None)
@@ -1383,7 +1389,8 @@ def _sample_cube_bwd(meta, L, filter_mode, shape, interpret, saved, dy):
             vals_parts.append(dyt * (w4s[corner] * lw)[None, :])
     g_flat = scatter_add_by_id(
         jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
-        NT, coherent=True).T  # [C, NT] (tile-ordered uvs -> sorted-ish)
+        NT, coherent=True,
+        p_chunk=_SCAT_P_CHUNK).T  # [C, NT] (tile-ordered -> sorted-ish)
 
     def int0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)

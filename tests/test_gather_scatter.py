@@ -45,6 +45,11 @@ def test_scatter_methods_agree():
     scale = float(jnp.max(jnp.abs(a)))
     np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                atol=3e-5 * scale)
+    # Non-default pixel-chunk size (texture-gradient tuning knob).
+    d = scatter_add_by_id(ids, vals, R, method="pallas_interpret",
+                          p_chunk=2048)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(a),
+                               atol=3e-5 * scale)
 
 
 def test_scatter_large_table_windowed():
