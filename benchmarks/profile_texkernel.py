@@ -88,6 +88,16 @@ def main():
     run("filter linear (1 level, no mip)", filt="linear")
     run("fl 1.5 (levels 1+2)", fl=1.5)
     run("ts=256 pyramid", ts=256)
+
+    # Pixel-tile height A/B: the fwd cost scales with texel rows per
+    # block (see the uv-scale lines), and a smaller tile sees a
+    # proportionally smaller texel bbox at more grid steps.
+    from nvdiffrast_tpu.ops import texture_pallas as tp
+    for th in (32, 16, 8):
+        tp.TILE_H = th
+        run(f"center, TILE_H={th}")
+        run(f"uv scale 4, TILE_H={th}", uv_scale=4.0, mode="fwd")
+    tp.TILE_H = 64
     print("done", flush=True)
 
 
