@@ -65,15 +65,13 @@ def main():
     tri_ids = jnp.arange(T, dtype=jnp.int32)
 
     def records(pos):
-        tv = pos[:, tri][0]
-        return rp._build_records(tv, tri_ids)
+        return rp._build_records_cm(pos[0], tri, tri_ids)
 
     def aabb_of(pos):
-        rec, sub, sval, slop = records(pos)
-        xmin, ymin, xmax, ymax, ok = rp._pixel_aabb(sub, sval, H, W, 0, H,
-                                                    slop=slop)
-        return rec, (xmin.min(-1), ymin.min(-1), xmax.max(-1),
-                     ymax.max(-1), ok.any(-1))
+        rec_cm, clipc, valid, slop = records(pos)
+        sx, sy, sw, sv = clipc
+        return rec_cm, rp._aabb_union_cols(sx, sy, sw, sv, valid, slop,
+                                           H, W, 0, H)
 
     def keysort(pos):
         rec, (xmin, ymin, xmax, ymax, ok) = aabb_of(pos)

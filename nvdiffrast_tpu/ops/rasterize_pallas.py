@@ -185,6 +185,225 @@ def _coverage_slop(tv):
     return _SLOP_MARGIN * slop
 
 
+# ---------------------------------------------------------------------------
+# Channel-major prepass. Per-triangle data travel as per-coordinate
+# flat [.., T] arrays: the tensor forms ([T, 3, 4] vertices,
+# [T, 2, 3, 4] clip polygons, [T, 16] records) tile-pad their minor
+# dims to (8, 128) in HBM — 32-85x inflation, ~12 GB of traffic at 1M
+# triangles, measured as ~70 ms of the 94 ms binning prepass
+# (benchmarks/results_r4.md "Binning prepass split"). Same layout rule
+# as per-pixel data (scatter.py docstring). Every expression below
+# mirrors the rasterize.py helpers term-for-term, so results are
+# bitwise identical.
+# ---------------------------------------------------------------------------
+
+def _gather_tri_cols(pos, tri):
+    """Vertex coordinates as per-coordinate flats.
+
+    pos: [B, V, 4] or [V, 4]; tri: [T, 3].
+    Returns (x, y, z, w): tuples of 3 arrays [.., T] (vertex j of the
+    triangle). One [.., 4, V] transpose up front keeps every gather
+    and all downstream math in clean (minor = T) layouts.
+    """
+    pt = jnp.swapaxes(pos, -1, -2)  # [.., 4, V]
+    g = [jnp.take(pt, tri[:, j], axis=-1) for j in range(3)]  # [.., 4, T]
+    x = tuple(gj[..., 0, :] for gj in g)
+    y = tuple(gj[..., 1, :] for gj in g)
+    z = tuple(gj[..., 2, :] for gj in g)
+    w = tuple(gj[..., 3, :] for gj in g)
+    return x, y, z, w
+
+
+def _edge_coeffs_cols(x, y, w):
+    """rasterize._edge_coeffs on coordinate flats.
+
+    Returns e[k] = (c0, cx, cy) for k = 0..2 (edge k opposite vertex
+    k: (1,2), (2,0), (0,1))."""
+    def edge(j, kk):
+        c0 = x[j] * y[kk] - x[kk] * y[j]
+        cx = y[j] * w[kk] - w[j] * y[kk]
+        cy = w[j] * x[kk] - x[j] * w[kk]
+        return (c0, cx, cy)
+
+    return (edge(1, 2), edge(2, 0), edge(0, 1))
+
+
+def _coverage_slop_cols(x, y, w):
+    """_coverage_slop on coordinate flats (same compensated math)."""
+    def edge(j, k):
+        p0a, e0a = _two_prod_err(x[j], y[k])
+        p0b, e0b = _two_prod_err(x[k], y[j])
+        pxa, exa = _two_prod_err(y[j], w[k])
+        pxb, exb = _two_prod_err(w[j], y[k])
+        pya, eya = _two_prod_err(w[j], x[k])
+        pyb, eyb = _two_prod_err(x[j], w[k])
+        c0 = p0a - p0b
+        cx = pxa - pxb
+        cy = pya - pyb
+        err = (_coef_err(p0a, e0a, p0b, e0b)
+               + _coef_err(pxa, exa, pxb, exb)
+               + _coef_err(pya, eya, pyb, eyb))
+        ev = _SLOP_EVAL_KAPPA * (jnp.abs(c0) + jnp.abs(cx) + jnp.abs(cy))
+        return err + ev, jnp.sqrt(cx * cx + cy * cy), cx, cy
+
+    e = [edge(1, 2), edge(2, 0), edge(0, 1)]
+    slop = jnp.zeros(x[0].shape, jnp.float32)
+    for k in range(3):
+        ek, gk, cxk, cyk = e[k]
+        el, gl, cxl, cyl = e[(k + 1) % 3]
+        d = jnp.abs(cxk * cyl - cyk * cxl)
+        delta = jnp.where(d > 0, (ek * gl + el * gk)
+                          / jnp.maximum(d, 1e-38), _BIG)
+        slop = jnp.maximum(slop, delta)
+    return _SLOP_MARGIN * slop
+
+
+def _near_clip_cols(x, y, w):
+    """rasterize._near_clip_subtris on coordinate flats (x, y, w only —
+    the z column is never consumed by the AABB).
+
+    Returns (sx, sy, sw, valid): s*[slot][vert] flats ([.., T]) for the
+    2 subtriangle slots, and valid[slot] bools.
+    """
+    from .rasterize import _W_CLIP_EPS
+
+    inside = [wj >= _W_CLIP_EPS for wj in w]
+    n_in = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
+            + inside[2].astype(jnp.int32))
+
+    i0, i1, i2 = inside
+    k_one = jnp.where(i0, 0, jnp.where(i1, 1, 2))
+    k_two = jnp.where(~i2, 0, jnp.where(~i0, 1, 2))
+    k = jnp.where(n_in == 1, k_one, jnp.where(n_in == 2, k_two, 0))
+
+    def rot(vals, j):
+        # r_j = vals[(k + j) % 3] via selects (take_along_axis analog).
+        return jnp.where(k == 0, vals[j % 3],
+                         jnp.where(k == 1, vals[(j + 1) % 3],
+                                   vals[(j + 2) % 3]))
+
+    r = [tuple(rot(c, j) for c in (x, y, w)) for j in range(3)]
+
+    def isect(p, q):
+        denom = q[2] - p[2]
+        safe = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+        t = jnp.clip((_W_CLIP_EPS - p[2]) / safe, 0.0, 1.0)
+        return tuple(pc + t * (qc - pc) for pc, qc in zip(p, q))
+
+    i01 = isect(r[0], r[1])
+    i02 = isect(r[0], r[2])
+    i12 = isect(r[1], r[2])
+
+    case_all = n_in == 3
+    case_one = n_in == 1
+    case_two = n_in == 2
+
+    def sel(c, a, b):
+        return jnp.where(c, a, b)
+
+    # c==3: (r0, r1, r2); c==1: (r0, i01, i02); c==2: (r0, r1, i12).
+    s0 = [r[0],
+          tuple(sel(case_one, a, b) for a, b in zip(i01, r[1])),
+          tuple(sel(case_one, a,
+                    sel(case_two, b, c))
+                for a, b, c in zip(i02, i12, r[2]))]
+    s1 = [r[0], i12, i02]
+
+    sx = [[v[0] for v in s0], [v[0] for v in s1]]
+    sy = [[v[1] for v in s0], [v[1] for v in s1]]
+    sw = [[v[2] for v in s0], [v[2] for v in s1]]
+    valid = [case_all | case_one | case_two, case_two]
+    return sx, sy, sw, valid
+
+
+def _aabb_union_cols(sx, sy, sw, svalid, ok_tri, slop, H, W, y0, Hf):
+    """_pixel_aabb + slot union on coordinate flats (same arithmetic:
+    per-vertex projection, per-slot min/max + guard band, slot union).
+    ok_tri folds the triangle-level cull into both slots."""
+    gx = 0.5 + jnp.clip(slop * (W * 0.5), 0.0, 1e9)
+    gy = 0.5 + jnp.clip(slop * (Hf * 0.5), 0.0, 1e9)
+    y0f = jnp.asarray(y0, jnp.float32)
+
+    u_xmin = u_ymin = None
+    u_xmax = u_ymax = None
+    u_ok = None
+    for s in range(2):
+        pxs = []
+        pys = []
+        for v in range(3):
+            wv = jnp.maximum(sw[s][v], 1e-12)
+            pxs.append(jnp.clip((sx[s][v] / wv + 1.0) * (W * 0.5) - 0.5,
+                                -1e9, 1e9))
+            pys.append(jnp.clip((sy[s][v] / wv + 1.0) * (Hf * 0.5) - 0.5
+                                - y0f, -1e9, 1e9))
+        xmin = jnp.minimum(jnp.minimum(pxs[0], pxs[1]), pxs[2]) - gx
+        xmax = jnp.maximum(jnp.maximum(pxs[0], pxs[1]), pxs[2]) + gx
+        ymin = jnp.minimum(jnp.minimum(pys[0], pys[1]), pys[2]) - gy
+        ymax = jnp.maximum(jnp.maximum(pys[0], pys[1]), pys[2]) + gy
+        onscreen = ((xmax >= -0.5) & (xmin <= W - 0.5)
+                    & (ymax >= -0.5) & (ymin <= H - 0.5))
+        ok = svalid[s] & ok_tri & onscreen
+        xmin = jnp.where(ok, xmin, _BIG)
+        ymin = jnp.where(ok, ymin, _BIG)
+        xmax = jnp.where(ok, xmax, -_BIG)
+        ymax = jnp.where(ok, ymax, -_BIG)
+        if u_xmin is None:
+            u_xmin, u_ymin, u_xmax, u_ymax, u_ok = xmin, ymin, xmax, ymax, ok
+        else:
+            u_xmin = jnp.minimum(u_xmin, xmin)
+            u_ymin = jnp.minimum(u_ymin, ymin)
+            u_xmax = jnp.maximum(u_xmax, xmax)
+            u_ymax = jnp.maximum(u_ymax, ymax)
+            u_ok = u_ok | ok
+    return u_xmin, u_ymin, u_xmax, u_ymax, u_ok
+
+
+def _build_records_cm(pos, tri, tri_ids):
+    """Channel-major _build_records: records as [.., 16, T] plus the
+    AABB inputs as flats. Same formulas as _build_records (cited
+    there); bitwise-identical record values."""
+    x, y, z, w = _gather_tri_cols(pos, tri)
+    e = _edge_coeffs_cols(x, y, w)
+    # Plane coefficients (rasterize._plane_coeffs einsum unrolled).
+    zc = tuple(z[0] * e[0][c] + z[1] * e[1][c] + z[2] * e[2][c]
+               for c in range(3))
+    wc = tuple(w[0] * e[0][c] + w[1] * e[1][c] + w[2] * e[2][c]
+               for c in range(3))
+    # Winding normalization (rasterize._area_form).
+    pD = e[0][0] * w[0] + e[0][1] * x[0] + e[0][2] * y[0]
+    po = jnp.where(pD < 0, -1.0, 1.0)
+
+    sx, sy, sw, svalid = _near_clip_cols(x, y, w)
+    valid = (pD != 0.0) & (svalid[0] | svalid[1])
+
+    lead = x[0].shape[:-1]
+    T = x[0].shape[-1]
+    idf = jnp.broadcast_to(tri_ids.astype(jnp.float32) + 1.0, lead + (T,))
+    idf = jnp.where(valid, idf, _ID_INVALID)
+
+    rows = []
+    for k in range(3):
+        for c in range(3):
+            rows.append(jnp.where(valid, e[k][c] * po, 0.0))
+    for c in range(3):
+        rows.append(jnp.where(valid, zc[c] * po, 0.0))
+    for c in range(3):
+        rows.append(jnp.where(valid, wc[c] * po, 0.0))
+    rows.append(idf)
+    rec_cm = jnp.stack(rows, axis=-2)  # [.., 16, T]
+    slop = _coverage_slop_cols(x, y, w)
+    return rec_cm, (sx, sy, sw, svalid), valid, slop
+
+
+def _pack_records(rec_cm):
+    """[.., 16, S] -> [.., S/8, 128] lane-packed GROUP rows
+    (packed[.., g, k*16 + f] = rec_cm[.., f, g*8 + k])."""
+    S = rec_cm.shape[-1]
+    arr = rec_cm.reshape(rec_cm.shape[:-2] + (16, S // GROUP, GROUP))
+    return jnp.stack([arr[..., f, :, k]
+                      for k in range(GROUP) for f in range(16)], axis=-1)
+
+
 def _pixel_aabb(sub, ok, H, W, y0, Hf, slop=None):
     """Screen AABB per subtriangle in band-local pixel-index units
     (empty if !ok). y0/Hf: row offset and full image height of the
@@ -249,13 +468,14 @@ def _stable_order(key, n_key):
     return order, key[order]
 
 
-def _sort_records(records, aabb, nty, ntx, tile_w):
+def _sort_records(rec_cm, aabb, nty, ntx, tile_w):
     """Locality-sort records; emit per-group AABBs.
 
-    records: [S, 16]; aabb: tuple of [S] arrays.
+    rec_cm: [16, S] channel-major records; aabb: tuple of [S] arrays.
 
-    Returns (records_sorted [S, 16], gaabb [S/GROUP, 4]); the caller
-    derives per-chunk AABBs by reshaping gaabb.
+    Returns (records lane-packed [S/GROUP, GROUP*16], gaabb
+    [S/GROUP, 4]); the caller derives per-chunk AABBs by reshaping
+    gaabb.
     """
     xmin, ymin, xmax, ymax, ok = aabb
     band = jnp.clip(jnp.floor((ymin + 0.5) / TILE_H).astype(jnp.int32),
@@ -266,11 +486,11 @@ def _sort_records(records, aabb, nty, ntx, tile_w):
     key = jnp.where(ok, band * ntx + tx0, nk)
     order, _ = _stable_order(key, nk)
 
-    records_s = records[order]
+    records_s = rec_cm[:, order]
     xmin_s, ymin_s = xmin[order], ymin[order]
     xmax_s, ymax_s = xmax[order], ymax[order]
 
-    ng = records.shape[0] // GROUP
+    ng = rec_cm.shape[-1] // GROUP
 
     def greduce(v, red):
         return red(v.reshape(ng, GROUP), axis=1)
@@ -278,10 +498,10 @@ def _sort_records(records, aabb, nty, ntx, tile_w):
     gaabb = jnp.stack([
         greduce(xmin_s, jnp.min), greduce(ymin_s, jnp.min),
         greduce(xmax_s, jnp.max), greduce(ymax_s, jnp.max)], axis=-1)
-    return records_s, gaabb
+    return _pack_records(records_s), gaabb
 
 
-def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
+def _csr_layout(rec_cm, aabb, nty, ntx, tile_w, chunk):
     """Per-tile CSR record segments for big meshes.
 
     Classifies each record by its screen-AABB tile span into one of
@@ -296,19 +516,20 @@ def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
     budget; removes the 16384-entry cliff.
 
     Args:
-      records: [S, 16] float32.
+      rec_cm: [16, S] float32 channel-major records.
       aabb: (xmin, ymin, xmax, ymax, ok) per record, tile-band-local
         pixel units.
       chunk: records per chunk (multiple of GROUP).
 
     Returns:
-      rec_l: [S_pad, 16] laid-out records (invalid padding slots).
+      rec_l: [S_pad/GROUP, GROUP*16] lane-packed laid-out records
+        (invalid padding slots).
       gaabb: [S_pad/GROUP, 4] group AABBs in layout order.
       cstart: [n_seg] int32 segment starts (chunk-block units).
       ccnt: [n_seg] int32 segment lengths (chunk-block units).
     """
     xmin, ymin, xmax, ymax, ok = aabb
-    S = records.shape[0]
+    S = rec_cm.shape[-1]
 
     def tix(v, n, scale):
         return jnp.clip(jnp.floor((v + 0.5) / scale).astype(jnp.int32),
@@ -359,8 +580,8 @@ def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
     valid_slot = expand(valid_blk) & (r < expand(counts[kc_blk]))
     src = order[jnp.clip(expand(seg0[kc_blk]) + r, 0, S - 1)]
 
-    safe = jnp.zeros((16,), jnp.float32).at[15].set(_ID_INVALID)
-    rec_l = jnp.where(valid_slot[:, None], records[src], safe[None, :])
+    safe_cm = jnp.zeros((16, 1), jnp.float32).at[15, 0].set(_ID_INVALID)
+    rec_l = jnp.where(valid_slot[None, :], rec_cm[:, src], safe_cm)
 
     gx0 = jnp.where(valid_slot, xmin[src], _BIG)
     gy0 = jnp.where(valid_slot, ymin[src], _BIG)
@@ -374,7 +595,7 @@ def _csr_layout(records, aabb, nty, ntx, tile_w, chunk):
     gaabb = jnp.stack([
         greduce(gx0, jnp.min), greduce(gy0, jnp.min),
         greduce(gx1, jnp.max), greduce(gy1, jnp.max)], axis=-1)
-    return rec_l, gaabb, cstart[:n_seg], ccnt
+    return _pack_records(rec_l), gaabb, cstart[:n_seg], ccnt
 
 
 # ---------------------------------------------------------------------------
@@ -817,11 +1038,11 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
     Wp = ntx * tile_w
 
     tri_ids = jnp.arange(T, dtype=jnp.int32)
-    if instance_mode:
-        tv = pos[:, tri]  # [B, T, 3, 4]
-    else:
-        tv = pos[tri]  # [T, 3, 4]
-    rec, sub_f, sval_f, slop_f = _build_records(tv, tri_ids)
+    # Channel-major prepass: per-coordinate flats all the way to the
+    # lane-packed record stream (see the layout note at
+    # _gather_tri_cols — the tensor forms cost ~12 GB of padded HBM
+    # traffic at 1M triangles).
+    rec_cm, clipc, valid_t, slop_f = _build_records_cm(pos, tri, tri_ids)
 
     S = T
     # chunk must keep gpc = chunk/GROUP a multiple of 8 (SMEM tiling)
@@ -838,68 +1059,61 @@ def rasterize_fused(pos, tri, resolution, ranges, peel_depth=None,
 
     nty_ = nty
     n_tiles = nty * ntx
-    Bc_geom = tv.shape[0] if instance_mode else 1
+    Bc_geom = pos.shape[0] if instance_mode else 1
     use_remap = Bc_geom * n_tiles * nc <= _REMAP_MAX_ENTRIES and nc > 1
     use_csr = (not use_remap) and nc > 1
 
-    def aabb_union(sub_i, sval_i, slop_i):
-        # sub_i: [S, 2, 3, 4] clip polygons (AABB only) — union the
-        # two slots' screen boxes per triangle. slop_i: [S] coverage-
-        # soundness expansion (see _coverage_slop).
-        xmin, ymin, xmax, ymax, ok = _pixel_aabb(sub_i, sval_i, H, W,
-                                                 y0, Hf, slop=slop_i)
-        return (xmin.min(axis=-1), ymin.min(axis=-1),
-                xmax.max(axis=-1), ymax.max(axis=-1), ok.any(axis=-1))
+    def aabb_cols(clip_i, valid_i, slop_i):
+        sx_i, sy_i, sw_i, sv_i = clip_i
+        return _aabb_union_cols(sx_i, sy_i, sw_i, sv_i, valid_i, slop_i,
+                                H, W, y0, Hf)
 
     cstart = ccnt = caabb = None
     if use_csr:
         # Big meshes: chunk-aligned per-tile/band/global CSR segments.
-        def csr_one(rec_i, sub_i, sval_i, slop_i):
-            return _csr_layout(rec_i, aabb_union(sub_i, sval_i, slop_i),
+        def csr_one(rec_i, clip_i, valid_i, slop_i):
+            return _csr_layout(rec_i, aabb_cols(clip_i, valid_i, slop_i),
                                nty, ntx, tile_w, chunk)
 
         if instance_mode:
             rec_s, gaabb, cstart, ccnt = jax.vmap(csr_one)(
-                rec, sub_f, sval_f, slop_f)
+                rec_cm, clipc, valid_t, slop_f)
         else:
-            rec_s, gaabb, cstart, ccnt = csr_one(rec, sub_f, sval_f, slop_f)
+            rec_s, gaabb, cstart, ccnt = csr_one(rec_cm, clipc, valid_t,
+                                                 slop_f)
             rec_s, gaabb = rec_s[None], gaabb[None]
             cstart, ccnt = cstart[None], ccnt[None]
-        S_lay = rec_s.shape[1]
-        nc = S_lay // chunk
+        nc = rec_s.shape[1] * GROUP // chunk
     else:
-        def pad_s(a, axis):
+        def pad_last(a):
             if Sp == S:
                 return a
-            cfg = [(0, 0)] * a.ndim
-            cfg[axis] = (0, Sp - S)
-            a = jnp.pad(a, cfg)
-            return a
+            cfg = [(0, 0)] * (a.ndim - 1) + [(0, Sp - S)]
+            return jnp.pad(a, cfg)
 
-        s_axis = 1 if instance_mode else 0
-        rec = pad_s(rec, s_axis)
+        rec_cm = pad_last(rec_cm)
         if Sp != S:
             # Padded slots: invalid id.
-            rec = rec.at[..., S:, 15].set(_ID_INVALID)
-        sub_p = pad_s(sub_f, s_axis)
-        sval_p = pad_s(sval_f, s_axis)
-        slop_p = pad_s(slop_f, s_axis)
+            rec_cm = rec_cm.at[..., 15, S:].set(_ID_INVALID)
+        clipc = jax.tree.map(pad_last, clipc)
+        valid_p = pad_last(valid_t)
+        slop_p = pad_last(slop_f)
 
-        def bin_one(rec_i, sub_i, sval_i, slop_i):
-            return _sort_records(rec_i, aabb_union(sub_i, sval_i, slop_i),
+        def bin_one(rec_i, clip_i, valid_i, slop_i):
+            return _sort_records(rec_i,
+                                 aabb_cols(clip_i, valid_i, slop_i),
                                  nty, ntx, tile_w)
 
         if instance_mode:
-            rec_s, gaabb = jax.vmap(bin_one)(rec, sub_p, sval_p, slop_p)
+            rec_s, gaabb = jax.vmap(bin_one)(rec_cm, clipc, valid_p,
+                                             slop_p)
         else:
-            rec_s, gaabb = bin_one(rec, sub_p, sval_p, slop_p)
+            rec_s, gaabb = bin_one(rec_cm, clipc, valid_p, slop_p)
             rec_s = rec_s[None]
             gaabb = gaabb[None]
-        S_lay = Sp
-    # Lane-pack GROUP=8 records of 16 floats into 128-lane rows: the
-    # coefficient stream occupies full vregs in VMEM/HBM instead of a
-    # 16-of-128-lane padded layout (8x less DMA traffic).
-    rec_s = rec_s.reshape(rec_s.shape[0], S_lay // GROUP, GROUP * 16)
+    # rec_s is lane-packed [B, S_lay/GROUP, GROUP*16] (_pack_records):
+    # the coefficient stream occupies full vregs in VMEM/HBM instead
+    # of a 16-of-128-lane padded layout (8x less DMA traffic).
 
     if not use_csr:
         # Per-chunk AABB from group AABBs (remap/dense paths).
