@@ -170,6 +170,21 @@ def _edge_coeffs(sub):
 
     Returns:
       [..., 3, 3] coefficients: [edge, (const, fx, fy)].
+
+    Canonical operand order: each coefficient is antisymmetric under
+    swapping the edge's two vertices, so it is computed with the pair
+    in a fixed value order (lexicographic on (x, y, w)) and the sign
+    applied afterwards (multiplication by -1 is exact). The naive
+    j,k-order expression is NOT reliably antisymmetric in float
+    arithmetic: backends contract ``fl(a*b) - fl(c*d)`` into
+    ``fma(a, b, -fl(c*d))`` (measured on XLA:CPU — ~30% of opposed
+    pairs off by 1 ulp, and a*b - a*b != 0 for duplicate vertices),
+    which would break the exact-negation symmetry between the two
+    sides of a shared mesh edge that the watertight tie rule is built
+    on (see _area_form). A bitwise-equal (x,y,w) pair gets exact-zero
+    coefficients; such degenerate triangles are culled by the forward
+    cores (_degenerate_tri_mask) because an all-zero edge row would
+    otherwise leave coverage to the tie rule + noise rows.
     """
     x = sub[..., 0]
     y = sub[..., 1]
@@ -178,13 +193,39 @@ def _edge_coeffs(sub):
     def edge(j, kk):
         xj, yj, wj = x[..., j], y[..., j], w[..., j]
         xk, yk, wk = x[..., kk], y[..., kk], w[..., kk]
-        c0 = xj * yk - xk * yj
-        cx = yj * wk - wj * yk
-        cy = wj * xk - xj * wk
+        swap = (xk < xj) | ((xk == xj)
+                            & ((yk < yj) | ((yk == yj) & (wk < wj))))
+        eq = (xj == xk) & (yj == yk) & (wj == wk)
+        ax = jnp.where(swap, xk, xj)
+        ay = jnp.where(swap, yk, yj)
+        aw = jnp.where(swap, wk, wj)
+        bx = jnp.where(swap, xj, xk)
+        by = jnp.where(swap, yj, yk)
+        bw = jnp.where(swap, wj, wk)
+        s = jnp.where(swap, -1.0, 1.0)
+        c0 = jnp.where(eq, 0.0, s * (ax * by - bx * ay))
+        cx = jnp.where(eq, 0.0, s * (ay * bw - aw * by))
+        cy = jnp.where(eq, 0.0, s * (aw * bx - ax * bw))
         return jnp.stack([c0, cx, cy], axis=-1)
 
     # a0 from (v1, v2), a1 from (v2, v0), a2 from (v0, v1).
     return jnp.stack([edge(1, 2), edge(2, 0), edge(0, 1)], axis=-2)
+
+
+def _degenerate_tri_mask(tv):
+    """True for triangles with a bitwise-duplicate (x, y, w) vertex
+    pair. _edge_coeffs gives such a pair an exact-zero edge row; left
+    alive, coverage would fall to the tie rule over the remaining
+    (noise-level) rows, so the forward cores cull these explicitly.
+    The reference culls zero-area triangles after its fixed-point snap
+    (cudaraster/impl/TriangleSetup.inl:130-137)."""
+    x, y, w = tv[..., 0], tv[..., 1], tv[..., 3]
+
+    def eq(j, k):
+        return ((x[..., j] == x[..., k]) & (y[..., j] == y[..., k])
+                & (w[..., j] == w[..., k]))
+
+    return eq(0, 1) | eq(1, 2) | eq(2, 0)
 
 
 def _area_form(ecoef, verts):
@@ -198,13 +239,17 @@ def _area_form(ecoef, verts):
     a degenerate (zero-area) triangle to cull.
 
     Watertightness note: a mesh edge shared by two triangles produces
-    *bitwise* opposite edge coefficients on the two sides — the raw
-    coefficients are products/differences of the same two vertex
-    values (commutative, identically rounded) and IEEE negation is
-    exact — so with the exclusive ==0 tie rule (`_tie_bits`) every
-    pixel on the shared edge is claimed by exactly one side. This is
-    exact at full f32 precision, where the reference needs a 1/16-px
-    integer snap + exact integer edge functions (impl/Util.inl:214-309).
+    *bitwise* opposite edge coefficients on the two sides —
+    _edge_coeffs computes each coefficient with the vertex pair in
+    canonical value order and applies the winding sign afterwards
+    (multiplication by -1 is exact), so the two sides evaluate the
+    IDENTICAL expression and differ only by that exact negation. With
+    the exclusive ==0 tie rule (`_tie_bits`) every pixel on the shared
+    edge is then claimed by exactly one side. This is exact at full
+    f32 precision, where the reference needs a 1/16-px integer snap +
+    exact integer edge functions (impl/Util.inl:214-309). (The naive
+    j,k-order expression does NOT have this property under the
+    backend's fma contraction — see _edge_coeffs.)
     """
     c = ecoef[..., 0, :]
     return (c[..., 0] * verts[..., 0, 3] + c[..., 1] * verts[..., 0, 0]
@@ -751,11 +796,17 @@ def _rasterize_fwd_core(pos, tri, resolution, ranges, peel_depth, chunk,
     ecoef_f = _edge_coeffs(tv)  # [.., T, 3, 3]
     zc_f, wc_f = _plane_coeffs(tv)  # [.., T, 3]
     pD = _area_form(ecoef_f, tv)  # [.., T]
-    po = jnp.where(pD < 0, -1.0, 1.0)
+    # Barrier: pin po to ONE evaluation. XLA otherwise re-fuses pD's
+    # mul-add chain into each consumer with per-site FMA contraction;
+    # on an exactly-degenerate triangle (pD = +-1 ulp of noise) the
+    # sign can differ between the edge/plane rows, breaking the
+    # exact-negation edge pairing the watertight tie rule relies on
+    # (see _build_records_cm in rasterize_pallas.py).
+    po = jax.lax.optimization_barrier(jnp.where(pD < 0, -1.0, 1.0))
     ecoef_f = ecoef_f * po[..., None, None]
     zc_f = zc_f * po[..., None]
     wc_f = wc_f * po[..., None]
-    sval_f = pD != 0.0
+    sval_f = (pD != 0.0) & ~_degenerate_tri_mask(tv)
 
     tri_ids = jnp.arange(T, dtype=jnp.int32)
 

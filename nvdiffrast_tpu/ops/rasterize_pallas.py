@@ -111,12 +111,22 @@ def _two_prod_err(a, b):
 
 
 def _coef_err(p1, e1, p2, e2):
-    """|fl(p1 - p2) - ((p1+e1) - (p2+e2))|: actual rounding of a
-    product-difference coefficient, via Knuth twoSum on (p1, -p2)."""
+    """Bound on |computed coefficient - exact|, valid for ANY backend
+    evaluation of ``a*b - c*d`` — plain (3 roundings), fma-contracted
+    either way (2), or exact-product both ways (1):
+
+      |err| <= |e1| + |e2| + 0.5 * ulp(result)
+
+    (e1/e2 = exact product rounding errors from Dekker twoProd; every
+    scheme's final rounding is within half an ulp of the plain
+    difference's neighborhood, covered by the 2^-24 * |p1 - p2| term
+    plus the e terms). The earlier exact twoSum recovery of the PLAIN
+    scheme's error is an underestimate when the backend contracts the
+    record build into fma (measured on XLA:CPU) — the kernel-visible
+    coefficient then differs from the mirrored plain value by a
+    rounding the recovery does not see."""
     s = p1 - p2
-    t = s - p1
-    e_sub = (p1 - (s - t)) + ((-p2) - t)
-    return jnp.abs(e_sub + (e1 - e2))
+    return jnp.abs(e1) + jnp.abs(e2) + jnp.float32(2.0 ** -24) * jnp.abs(s)
 
 
 def _coverage_slop(tv):
@@ -135,9 +145,9 @@ def _coverage_slop(tv):
     projected triangle, so binning by AABB + slop is sound against the
     kernel's own arithmetic.
 
-    E_k uses the ACTUAL construction rounding of each coefficient —
-    recovered exactly with Dekker twoProd + twoSum compensation
-    mirroring rasterize._edge_coeffs' expressions — plus the rigorous
+    E_k bounds the construction rounding of each coefficient with
+    Dekker twoProd product errors + a half-ulp result term (_coef_err
+    — valid for any backend contraction scheme), plus the rigorous
     evaluation bound 3*2^-24*(|c0|+|cx|+|cy|) for the kernel's
     ``(c0 + cx*fx) + cy*fy`` at |fx|,|fy| <= 1. A worst-case magnitude
     bound here (8*2^-24 * sum of product magnitudes, 2x safety) was
@@ -218,14 +228,36 @@ def _edge_coeffs_cols(x, y, w):
     """rasterize._edge_coeffs on coordinate flats.
 
     Returns e[k] = (c0, cx, cy) for k = 0..2 (edge k opposite vertex
-    k: (1,2), (2,0), (0,1))."""
+    k: (1,2), (2,0), (0,1)).
+
+    Canonical value-ordered operand pairs with the sign applied last —
+    exact negation symmetry for shared/opposed edges regardless of the
+    backend's fma contraction; bitwise-duplicate (x,y,w) pairs give
+    exact-zero coefficients (rationale at rasterize._edge_coeffs)."""
     def edge(j, kk):
-        c0 = x[j] * y[kk] - x[kk] * y[j]
-        cx = y[j] * w[kk] - w[j] * y[kk]
-        cy = w[j] * x[kk] - x[j] * w[kk]
+        sw, eq = _canon_pair(x, y, w, j, kk)
+        ax, bx = jnp.where(sw, x[kk], x[j]), jnp.where(sw, x[j], x[kk])
+        ay, by = jnp.where(sw, y[kk], y[j]), jnp.where(sw, y[j], y[kk])
+        aw, bw = jnp.where(sw, w[kk], w[j]), jnp.where(sw, w[j], w[kk])
+        s = jnp.where(sw, -1.0, 1.0)
+        c0 = jnp.where(eq, 0.0, s * (ax * by - bx * ay))
+        cx = jnp.where(eq, 0.0, s * (ay * bw - aw * by))
+        cy = jnp.where(eq, 0.0, s * (aw * bx - ax * bw))
         return (c0, cx, cy)
 
     return (edge(1, 2), edge(2, 0), edge(0, 1))
+
+
+def _canon_pair(x, y, w, j, kk):
+    """(swap, eq) for the value-canonical order of vertex pair (j, kk):
+    swap = (x,y,w)[kk] lexicographically below (x,y,w)[j]; eq = all
+    three coordinates bitwise equal (as values; -0.0 == 0.0 is fine —
+    equal VALUES produce identically-rounded products either way)."""
+    swap = (x[kk] < x[j]) | ((x[kk] == x[j])
+                             & ((y[kk] < y[j])
+                                | ((y[kk] == y[j]) & (w[kk] < w[j]))))
+    eq = (x[j] == x[kk]) & (y[j] == y[kk]) & (w[j] == w[kk])
+    return swap, eq
 
 
 def _coverage_slop_cols(x, y, w):
@@ -361,7 +393,12 @@ def _aabb_union_cols(sx, sy, sw, svalid, ok_tri, slop, H, W, y0, Hf):
 def _build_records_cm(pos, tri, tri_ids):
     """Channel-major _build_records: records as [.., 16, T] plus the
     AABB inputs as flats. Same formulas as _build_records (cited
-    there); bitwise-identical record values."""
+    there). Edge rows, slop, and AABBs are bitwise identical to the
+    tensor-form builder; the z/w plane rows can differ by ~1 ulp from
+    rasterize._plane_coeffs' einsum (different 3-term summation order,
+    measured max 4e-6 absolute) — within both impls every consumer
+    sees one consistent set of coefficients, so watertightness and
+    CSR/remap exactness are unaffected."""
     x, y, z, w = _gather_tri_cols(pos, tri)
     e = _edge_coeffs_cols(x, y, w)
     # Plane coefficients (rasterize._plane_coeffs einsum unrolled).
@@ -369,12 +406,24 @@ def _build_records_cm(pos, tri, tri_ids):
                for c in range(3))
     wc = tuple(w[0] * e[0][c] + w[1] * e[1][c] + w[2] * e[2][c]
                for c in range(3))
-    # Winding normalization (rasterize._area_form).
+    # Winding normalization (rasterize._area_form). The barrier pins po
+    # to ONE evaluation: XLA otherwise re-fuses pD's mul-add chain into
+    # each of the 15 record rows with per-site FMA contraction, and on
+    # an exactly-degenerate triangle (pD = +-1 ulp of noise) the sign
+    # can differ BETWEEN ROWS — breaking the exact-negation pairing of
+    # shared/opposed edges that the watertight tie rule requires.
     pD = e[0][0] * w[0] + e[0][1] * x[0] + e[0][2] * y[0]
-    po = jnp.where(pD < 0, -1.0, 1.0)
+    po = jax.lax.optimization_barrier(jnp.where(pD < 0, -1.0, 1.0))
 
     sx, sy, sw, svalid = _near_clip_cols(x, y, w)
-    valid = (pD != 0.0) & (svalid[0] | svalid[1])
+    # Cull triangles with a bitwise-duplicate (x,y,w) vertex pair: the
+    # canonical edge builder gives them an exact-zero edge row, which
+    # would otherwise leave coverage to the tie rule over the
+    # remaining (noise-level) rows.
+    dup = (_canon_pair(x, y, w, 0, 1)[1]
+           | _canon_pair(x, y, w, 1, 2)[1]
+           | _canon_pair(x, y, w, 2, 0)[1])
+    valid = (pD != 0.0) & ~dup & (svalid[0] | svalid[1])
 
     lead = x[0].shape[:-1]
     T = x[0].shape[-1]
@@ -969,7 +1018,8 @@ def _build_records(tv, tri_ids):
     # edges scaled so edge interiors / interpolated w are positive;
     # degenerate parents culled.
     pD = _area_form(pe, tv)  # [.., T]
-    po = jnp.where(pD < 0, -1.0, 1.0)
+    # Barrier: keep po a single evaluation (see _build_records_cm).
+    po = jax.lax.optimization_barrier(jnp.where(pD < 0, -1.0, 1.0))
     zc = zc * po[..., None]
     wc = wc * po[..., None]
     pe = pe * po[..., None, None]

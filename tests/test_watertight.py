@@ -252,3 +252,72 @@ def test_nearclip_shared_edge_watertight(rot90, res):
         edge[:, 1:] |= cov[:, 1:] != cov[:, :-1]
         edge[:, :-1] |= cov[:, :-1] != cov[:, 1:]
         assert (diff <= edge).all(), "interior pixels differ between impls"
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+def test_degenerate_triangle_covers_nothing(impl):
+    """Exactly-degenerate triangles (duplicate vertex / collinear) must
+    shade no pixels, even though f32 noise can leave their area form pD
+    within +-1 ulp of zero instead of exactly 0. Their opposed edge
+    rows are exact IEEE negations, so the exclusive tie rule empties
+    the coverage set — PROVIDED the winding sign po is one consistent
+    value across all record rows (the optimization_barrier in
+    _build_records_cm / _rasterize_fwd_core; without it XLA's per-site
+    FMA contraction of pD can flip po between rows on these triangles,
+    turning the record into garbage half-planes). Reference culls
+    zero-area triangles after fixed-point snap
+    (cudaraster/impl/TriangleSetup.inl:130-137)."""
+    rng = np.random.RandomState(7)
+    # Vertices at awkward (non-representable) coordinates; w varies so
+    # the products in pD genuinely round.
+    v = rng.randn(8, 2).astype(np.float32) * 0.7
+    w = (1.0 + np.abs(rng.randn(8)) * 0.5).astype(np.float32)
+    pos = np.concatenate(
+        [v * w[:, None], np.zeros((8, 1), np.float32), w[:, None]],
+        axis=1)
+    # Duplicate-vertex degenerates plus a collinear one (v6 is the
+    # midpoint of v4, v5 in clip space => zero area).
+    pos[6] = 0.5 * (pos[4] + pos[5])
+    tri = np.array([[0, 0, 1], [2, 3, 3], [4, 6, 5], [1, 1, 1]], np.int32)
+    rast, _ = rasterize(None, jnp.asarray(pos[None]), jnp.asarray(tri),
+                        (64, 64), impl=impl)
+    cov = np.asarray(rast[0, ..., 3])
+    assert (cov == 0).all(), f"{(cov != 0).sum()} pixels shaded by degenerates"
+
+
+def test_shared_edge_exact_negation():
+    """The foundation of the fill rule: the two sides of a shared mesh
+    edge get bitwise-negated edge coefficients. The naive j,k-order
+    expression loses this under backend fma contraction of
+    fl(a*b) - fl(c*d) (~30% of opposed pairs off by 1 ulp on XLA:CPU);
+    _edge_coeffs computes each coefficient in canonical value order
+    with the sign applied last, which is contraction-proof."""
+    import jax
+
+    from nvdiffrast_tpu.ops import rasterize_pallas as rp
+    from nvdiffrast_tpu.ops.rasterize import _edge_coeffs
+
+    rng = np.random.RandomState(3)
+    T, V = 2000, 700
+    pos = rng.randn(V, 4).astype(np.float32)
+    tri_a = rng.randint(0, V, (T, 3)).astype(np.int32)
+    # B shares A's edge (v1, v2), traversed in the opposite direction.
+    tri_b = np.stack([rng.randint(0, V, (T,)).astype(np.int32),
+                      tri_a[:, 2], tri_a[:, 1]], axis=1)
+    tv_a = jnp.asarray(pos)[jnp.asarray(tri_a)]
+    tv_b = jnp.asarray(pos)[jnp.asarray(tri_b)]
+    ea, eb = jax.jit(lambda a, b: (_edge_coeffs(a), _edge_coeffs(b)))(
+        tv_a, tv_b)
+    # A's edge 0 is (v1, v2); B's edge 0 is (v2, v1).
+    np.testing.assert_array_equal(np.asarray(ea)[:, 0, :],
+                                  -np.asarray(eb)[:, 0, :])
+
+    # Channel-major builder: bitwise identical to the tensor form.
+    x = tuple(tv_a[:, j, 0] for j in range(3))
+    y = tuple(tv_a[:, j, 1] for j in range(3))
+    w = tuple(tv_a[:, j, 3] for j in range(3))
+    ec = jax.jit(rp._edge_coeffs_cols)(x, y, w)
+    et = np.asarray(ea)
+    for k in range(3):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(ec[k][c]), et[:, k, c])
