@@ -25,10 +25,17 @@ def coverage_escapes(v):
     N = v.shape[0]
     x, y, w = v[..., 0], v[..., 1], v[..., 3]
 
+    def dop(a, b, c, d):
+        # rasterize._dop: correctly-rounded f32 difference of exact
+        # f64 products (the coefficients the records actually carry).
+        return (a.astype(np.float64) * b.astype(np.float64)
+                - c.astype(np.float64) * d.astype(np.float64)
+                ).astype(np.float32)
+
     def edge(j, k):
-        c0 = x[:, j] * y[:, k] - x[:, k] * y[:, j]
-        cx = y[:, j] * w[:, k] - w[:, j] * y[:, k]
-        cy = w[:, j] * x[:, k] - x[:, j] * w[:, k]
+        c0 = dop(x[:, j], y[:, k], x[:, k], y[:, j])
+        cx = dop(y[:, j], w[:, k], w[:, j], y[:, k])
+        cy = dop(w[:, j], x[:, k], x[:, j], w[:, k])
         return c0, cx, cy
 
     e = [edge(1, 2), edge(2, 0), edge(0, 1)]

@@ -156,6 +156,30 @@ def _near_clip_subtris(v):
     return sub, valid
 
 
+def _dop(a, b, c, d):
+    """Deterministic, correctly-rounded f32 difference of products
+    fl(a*b - c*d) via f64: both f32 products are EXACT in f64 (24+24
+    <= 53 mantissa bits), so the single f64 subtraction rounds once —
+    and fma contraction of the lowering cannot change the result
+    (contracting an exact product is a no-op). This is immune to the
+    backend's jit-vs-eager fma contraction asymmetry, which the
+    earlier optimization_barrier / bitcast pins were NOT (XLA:CPU
+    erases both before LLVM emission and contracts inside the fusion
+    — measured: fl(a*b) - fl(c*d) gives 0 eagerly, +-1 ulp jitted for
+    a*b == c*d). The final f64->f32 convert double-rounds, which is
+    deterministic and within 0.5+eps ulp of exact.
+
+    The x64 context only affects tracing; staged programs keep their
+    f64 ops regardless of the caller's config.
+    """
+    with jax.enable_x64(True):
+        f64 = functools.partial(jax.lax.convert_element_type,
+                                new_dtype=np.float64)
+        r = jax.lax.convert_element_type(
+            f64(a) * f64(b) - f64(c) * f64(d), np.float32)
+    return r
+
+
 def _edge_coeffs(sub):
     """Affine coefficients of the homogeneous edge functions.
 
@@ -171,20 +195,29 @@ def _edge_coeffs(sub):
     Returns:
       [..., 3, 3] coefficients: [edge, (const, fx, fy)].
 
-    Canonical operand order: each coefficient is antisymmetric under
-    swapping the edge's two vertices, so it is computed with the pair
-    in a fixed value order (lexicographic on (x, y, w)) and the sign
-    applied afterwards (multiplication by -1 is exact). The naive
-    j,k-order expression is NOT reliably antisymmetric in float
-    arithmetic: backends contract ``fl(a*b) - fl(c*d)`` into
-    ``fma(a, b, -fl(c*d))`` (measured on XLA:CPU — ~30% of opposed
-    pairs off by 1 ulp, and a*b - a*b != 0 for duplicate vertices),
-    which would break the exact-negation symmetry between the two
-    sides of a shared mesh edge that the watertight tie rule is built
-    on (see _area_form). A bitwise-equal (x,y,w) pair gets exact-zero
-    coefficients; such degenerate triangles are culled by the forward
-    cores (_degenerate_tri_mask) because an all-zero edge row would
-    otherwise leave coverage to the tie rule + noise rows.
+    Every coefficient is computed by _dop — the correctly-rounded f32
+    difference of products — which gives two properties the watertight
+    tie rule is built on, with no operand-ordering tricks:
+
+    * Exact negation symmetry: the two triangles sharing a mesh edge
+      compute the coefficient with operands swapped, and correct
+      rounding is odd (fl(-x) = -fl(x)), so the two sides see BITWISE
+      opposite values (see _area_form). A plain f32 expression does
+      not have this: backends contract ``fl(a*b) - fl(c*d)`` into
+      ``fma(a, b, -fl(c*d))`` (measured on XLA:CPU — ~30% of opposed
+      pairs off by 1 ulp), and do so under jit but not eagerly,
+      breaking jit/eager determinism too (test_jit_compatible).
+    * A bitwise-duplicate (x, y, w) vertex pair gets exact-zero
+      coefficients (a*b - a*b is exactly 0 in f64); such degenerate
+      triangles are culled by the forward cores
+      (_degenerate_tri_mask) because an all-zero edge row would
+      otherwise leave coverage to the tie rule + noise rows.
+
+    Correct rounding also kills the coverage-polytope drift that plain
+    construction had: the computed edge line is within 0.5 ulp OF THE
+    COEFFICIENT of exact, where the plain difference was off by the
+    rounding of the PRODUCTS — ~1 px of polytope displacement for
+    cancelling slivers (the round-3 CSR escapees; see _coverage_slop).
     """
     x = sub[..., 0]
     y = sub[..., 1]
@@ -193,19 +226,9 @@ def _edge_coeffs(sub):
     def edge(j, kk):
         xj, yj, wj = x[..., j], y[..., j], w[..., j]
         xk, yk, wk = x[..., kk], y[..., kk], w[..., kk]
-        swap = (xk < xj) | ((xk == xj)
-                            & ((yk < yj) | ((yk == yj) & (wk < wj))))
-        eq = (xj == xk) & (yj == yk) & (wj == wk)
-        ax = jnp.where(swap, xk, xj)
-        ay = jnp.where(swap, yk, yj)
-        aw = jnp.where(swap, wk, wj)
-        bx = jnp.where(swap, xj, xk)
-        by = jnp.where(swap, yj, yk)
-        bw = jnp.where(swap, wj, wk)
-        s = jnp.where(swap, -1.0, 1.0)
-        c0 = jnp.where(eq, 0.0, s * (ax * by - bx * ay))
-        cx = jnp.where(eq, 0.0, s * (ay * bw - aw * by))
-        cy = jnp.where(eq, 0.0, s * (aw * bx - ax * bw))
+        c0 = _dop(xj, yk, xk, yj)
+        cx = _dop(yj, wk, wj, yk)
+        cy = _dop(wj, xk, xj, wk)
         return jnp.stack([c0, cx, cy], axis=-1)
 
     # a0 from (v1, v2), a1 from (v2, v0), a2 from (v0, v1).
@@ -434,7 +457,19 @@ def _coverage_xla(ecoef, zcoef, wcoef, valid, tri_ids, batch_shape, resolution,
         frag_ok = covered & cut_ok & (w > 0) & (jnp.abs(z) <= w)
         frag_ok &= vd[:, :, None, None]
         if peel_depth is not None:
-            frag_ok &= z > peel_depth[:, None] * w
+            # Peel cull compares the fragment's ROUNDED depth fl(z/w)
+            # against the previous layer's recorded fl(z/w) — the same
+            # value the same fragment produced there, so a layer's
+            # winner is culled in the next layer EXACTLY, independent
+            # of how the z/w plane coefficients were built. A rational
+            # z > peel*w test is a knife edge at exact equality for
+            # every previously-won pixel: the rounding of peel*w
+            # decides it, and any 1-ulp coefficient difference between
+            # builders lets the same fragment reappear. The reference
+            # culls on the rounded f32 depth buffer value too
+            # (FineRaster.inl:349). w <= 0 lanes divide to garbage but
+            # are already false in frag_ok (NaN compares false).
+            frag_ok &= z / w > peel_depth[:, None]
 
         zn = jnp.where(frag_ok, z, _RAT_BIG)
         wd = jnp.where(frag_ok, w, 1.0)

@@ -86,47 +86,23 @@ def _cdiv(a, b):
 # Binning (XLA).
 # ---------------------------------------------------------------------------
 
-# Kernel-evaluation rounding of a = (c0 + cx*fx) + cy*fy at
-# |fx|, |fy| <= 1: three f32 roundings at the term magnitudes, plus
-# the rounding of fx/fy themselves (folded in) — see _coverage_slop.
-_SLOP_EVAL_KAPPA = 3.0 * 2.0 ** -24
-# Margin on the compensated-arithmetic error recovery (its own f32
-# roundings are relatively tiny; 1.25 is generous).
+# Per-edge error bound, in units of the coefficient magnitude sum
+# |c0| + |cx| + |cy|:
+#   construction — each coefficient is rasterize._dop's correctly-
+#     rounded f32 difference of exact f64 products: <= (0.5 + 2^-29)
+#     ulp32 (true f64), <= (0.5 + 2^-20) ulp32 under XLA:TPU's
+#     float-float f64 emulation; 1.01 * 2^-24 * |c| covers both.
+#   evaluation — three f32 roundings of (c0 + cx*fx) + cy*fy at
+#     |fx|, |fy| <= 1 (any contraction scheme only removes roundings),
+#     plus the rounding of fx/fy themselves: 3 * 2^-24 * sum.
+_SLOP_KAPPA = (1.01 + 3.0) * 2.0 ** -24
+# Subnormal floor: the half-ulp construction/eval roundings never fall
+# below ~2^-150 absolute regardless of |c|; 3 * 2^-126 covers all
+# three coefficients with orders of magnitude to spare.
+_SLOP_ABS_FLOOR = 3.0 * 2.0 ** -126
+# Safety margin on the perturbation geometry (its own f32 roundings
+# are relatively tiny; 1.25 is generous).
 _SLOP_MARGIN = 1.25
-
-
-def _two_prod_err(a, b):
-    """(fl(a*b), exact error fl(a*b) - a*b) via Dekker splitting
-    (f32 has 24 mantissa bits; 12/12 split keeps halves exact)."""
-    p = a * b
-    split = jnp.float32(4097.0)  # 2^12 + 1
-    ah = a * split
-    ah = ah - (ah - a)
-    al = a - ah
-    bh = b * split
-    bh = bh - (bh - b)
-    bl = b - bh
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
-
-
-def _coef_err(p1, e1, p2, e2):
-    """Bound on |computed coefficient - exact|, valid for ANY backend
-    evaluation of ``a*b - c*d`` — plain (3 roundings), fma-contracted
-    either way (2), or exact-product both ways (1):
-
-      |err| <= |e1| + |e2| + 0.5 * ulp(result)
-
-    (e1/e2 = exact product rounding errors from Dekker twoProd; every
-    scheme's final rounding is within half an ulp of the plain
-    difference's neighborhood, covered by the 2^-24 * |p1 - p2| term
-    plus the e terms). The earlier exact twoSum recovery of the PLAIN
-    scheme's error is an underestimate when the backend contracts the
-    record build into fma (measured on XLA:CPU) — the kernel-visible
-    coefficient then differs from the mirrored plain value by a
-    rounding the recovery does not see."""
-    s = p1 - p2
-    return jnp.abs(e1) + jnp.abs(e2) + jnp.float32(2.0 ** -24) * jnp.abs(s)
 
 
 def _coverage_slop(tv):
@@ -145,43 +121,34 @@ def _coverage_slop(tv):
     projected triangle, so binning by AABB + slop is sound against the
     kernel's own arithmetic.
 
-    E_k bounds the construction rounding of each coefficient with
-    Dekker twoProd product errors + a half-ulp result term (_coef_err
-    — valid for any backend contraction scheme), plus the rigorous
-    evaluation bound 3*2^-24*(|c0|+|cx|+|cy|) for the kernel's
-    ``(c0 + cx*fx) + cy*fy`` at |fx|,|fy| <= 1. A worst-case magnitude
-    bound here (8*2^-24 * sum of product magnitudes, 2x safety) was
-    ~10x too fat: a 2048^2 1M-tri sphere got median 3 px of slop and
-    30% of records reclassified into the CSR global segment, tripling
-    the forward pass (benchmarks/results_r4.md). The near-clip cut /
-    pw>0 / |pz|<=pw tests only intersect (shrink) coverage, so edge
-    pairs alone bound it.
+    E_k is _SLOP_KAPPA * (|c0| + |cx| + |cy|) + _SLOP_ABS_FLOOR on the
+    coefficients the records actually carry (the same rasterize._dop
+    values, recomputed here): correctly-rounded construction is within
+    ~0.5 ulp OF THE COEFFICIENT, so — unlike the earlier Dekker-twoProd
+    bound on plain-f32 construction, whose |e1| + |e2| terms scale with
+    the PRODUCT magnitudes — cancelling slivers no longer inflate the
+    bound. The near-clip cut / pw>0 / |pz|<=pw tests only intersect
+    (shrink) coverage, so edge pairs alone bound it.
 
     Args:
       tv: [..., 3, 4] parent clip-space vertices.
     Returns:
       [...] f32 slop; large (possibly inf -> caller clips) for slivers.
     """
+    from .rasterize import _dop
+
     x, y, w = tv[..., 0], tv[..., 1], tv[..., 3]
 
     def edge(j, k):
         xj, yj, wj = x[..., j], y[..., j], w[..., j]
         xk, yk, wk = x[..., k], y[..., k], w[..., k]
-        # Mirror _edge_coeffs exactly: c0 = xj*yk - xk*yj, etc.
-        p0a, e0a = _two_prod_err(xj, yk)
-        p0b, e0b = _two_prod_err(xk, yj)
-        pxa, exa = _two_prod_err(yj, wk)
-        pxb, exb = _two_prod_err(wj, yk)
-        pya, eya = _two_prod_err(wj, xk)
-        pyb, eyb = _two_prod_err(xj, wk)
-        c0 = p0a - p0b
-        cx = pxa - pxb
-        cy = pya - pyb
-        err = (_coef_err(p0a, e0a, p0b, e0b)
-               + _coef_err(pxa, exa, pxb, exb)
-               + _coef_err(pya, eya, pyb, eyb))
-        ev = _SLOP_EVAL_KAPPA * (jnp.abs(c0) + jnp.abs(cx) + jnp.abs(cy))
-        return err + ev, jnp.sqrt(cx * cx + cy * cy), cx, cy
+        # The records' own coefficients (bitwise _edge_coeffs values).
+        c0 = _dop(xj, yk, xk, yj)
+        cx = _dop(yj, wk, wj, yk)
+        cy = _dop(wj, xk, xj, wk)
+        ek = (_SLOP_KAPPA * (jnp.abs(c0) + jnp.abs(cx) + jnp.abs(cy))
+              + _SLOP_ABS_FLOOR)
+        return ek, jnp.sqrt(cx * cx + cy * cy), cx, cy
 
     e = [edge(1, 2), edge(2, 0), edge(0, 1)]
     slop = jnp.zeros(tv.shape[:-2], jnp.float32)
@@ -230,19 +197,17 @@ def _edge_coeffs_cols(x, y, w):
     Returns e[k] = (c0, cx, cy) for k = 0..2 (edge k opposite vertex
     k: (1,2), (2,0), (0,1)).
 
-    Canonical value-ordered operand pairs with the sign applied last —
-    exact negation symmetry for shared/opposed edges regardless of the
-    backend's fma contraction; bitwise-duplicate (x,y,w) pairs give
-    exact-zero coefficients (rationale at rasterize._edge_coeffs)."""
+    Correctly-rounded differences of products (rasterize._dop): exact
+    negation symmetry for shared/opposed edges regardless of the
+    backend's fma contraction, jit/eager-deterministic, and
+    bitwise-duplicate (x,y,w) pairs give exact-zero coefficients
+    (rationale at rasterize._edge_coeffs)."""
+    from .rasterize import _dop
+
     def edge(j, kk):
-        sw, eq = _canon_pair(x, y, w, j, kk)
-        ax, bx = jnp.where(sw, x[kk], x[j]), jnp.where(sw, x[j], x[kk])
-        ay, by = jnp.where(sw, y[kk], y[j]), jnp.where(sw, y[j], y[kk])
-        aw, bw = jnp.where(sw, w[kk], w[j]), jnp.where(sw, w[j], w[kk])
-        s = jnp.where(sw, -1.0, 1.0)
-        c0 = jnp.where(eq, 0.0, s * (ax * by - bx * ay))
-        cx = jnp.where(eq, 0.0, s * (ay * bw - aw * by))
-        cy = jnp.where(eq, 0.0, s * (aw * bx - ax * bw))
+        c0 = _dop(x[j], y[kk], x[kk], y[j])
+        cx = _dop(y[j], w[kk], w[j], y[kk])
+        cy = _dop(w[j], x[kk], x[j], w[kk])
         return (c0, cx, cy)
 
     return (edge(1, 2), edge(2, 0), edge(0, 1))
@@ -261,25 +226,25 @@ def _canon_pair(x, y, w, j, kk):
 
 
 def _coverage_slop_cols(x, y, w):
-    """_coverage_slop on coordinate flats (same compensated math)."""
-    def edge(j, k):
-        p0a, e0a = _two_prod_err(x[j], y[k])
-        p0b, e0b = _two_prod_err(x[k], y[j])
-        pxa, exa = _two_prod_err(y[j], w[k])
-        pxb, exb = _two_prod_err(w[j], y[k])
-        pya, eya = _two_prod_err(w[j], x[k])
-        pyb, eyb = _two_prod_err(x[j], w[k])
-        c0 = p0a - p0b
-        cx = pxa - pxb
-        cy = pya - pyb
-        err = (_coef_err(p0a, e0a, p0b, e0b)
-               + _coef_err(pxa, exa, pxb, exb)
-               + _coef_err(pya, eya, pyb, eyb))
-        ev = _SLOP_EVAL_KAPPA * (jnp.abs(c0) + jnp.abs(cx) + jnp.abs(cy))
-        return err + ev, jnp.sqrt(cx * cx + cy * cy), cx, cy
+    """_coverage_slop on coordinate flats (same bound; ideally the
+    caller passes the already-built edge coefficients — see
+    _coverage_slop_from_edges)."""
+    e_coef = _edge_coeffs_cols(x, y, w)
+    return _coverage_slop_from_edges(e_coef)
 
-    e = [edge(1, 2), edge(2, 0), edge(0, 1)]
-    slop = jnp.zeros(x[0].shape, jnp.float32)
+
+def _coverage_slop_from_edges(e_coef):
+    """_coverage_slop's bound from prebuilt edge coefficients
+    (e_coef[k] = (c0, cx, cy) flats) — shares the _dop work with the
+    record build instead of recomputing it."""
+    def edge(k):
+        c0, cx, cy = e_coef[k]
+        ek = (_SLOP_KAPPA * (jnp.abs(c0) + jnp.abs(cx) + jnp.abs(cy))
+              + _SLOP_ABS_FLOOR)
+        return ek, jnp.sqrt(cx * cx + cy * cy), cx, cy
+
+    e = [edge(0), edge(1), edge(2)]
+    slop = jnp.zeros(e_coef[0][0].shape, jnp.float32)
     for k in range(3):
         ek, gk, cxk, cyk = e[k]
         el, gl, cxl, cyl = e[(k + 1) % 3]
@@ -440,7 +405,9 @@ def _build_records_cm(pos, tri, tri_ids):
         rows.append(jnp.where(valid, wc[c] * po, 0.0))
     rows.append(idf)
     rec_cm = jnp.stack(rows, axis=-2)  # [.., 16, T]
-    slop = _coverage_slop_cols(x, y, w)
+    # Slop from the SAME edge coefficients (po-invariant magnitudes) —
+    # no recomputation of the _dop products.
+    slop = _coverage_slop_from_edges(e)
     return rec_cm, (sx, sy, sw, svalid), valid, slop
 
 
@@ -821,7 +788,14 @@ def _make_kernel(xs, xo, ys, yo, has_vp, nc, gpc, tile_w, has_peel,
                 ok &= ((idf < _ID_VALID_THRESH) & (idf >= start_f)
                        & (idf < end_f))
                 if has_peel:
-                    ok &= pz > peel * pw
+                    # Rounded-depth peel cull: fl(pz/pw) reproduces the
+                    # previous layer's recorded zbuf value bitwise for
+                    # the same record at the same pixel, so the prior
+                    # winner is culled exactly (no reappearance knife
+                    # edge at peel == pz/pw; rationale in
+                    # rasterize._rasterize_fwd_core). pw <= 0 lanes are
+                    # already false in `ok`.
+                    ok &= pz / pw > peel
 
                 pzc = jnp.where(ok, pz, _BIG)
                 pwc = jnp.where(ok, pw, 1.0)
@@ -1010,7 +984,7 @@ def _build_records(tv, tri_ids):
     the visible screen extent (AABBs for binning).
     """
     from .rasterize import (_near_clip_subtris, _edge_coeffs, _plane_coeffs,
-                            _area_form)
+                            _area_form, _degenerate_tri_mask)
 
     pe = _edge_coeffs(tv)  # [.., T, 3, 3]
     zc, wc = _plane_coeffs(tv)  # [.., T, 3]
@@ -1024,9 +998,13 @@ def _build_records(tv, tri_ids):
     wc = wc * po[..., None]
     pe = pe * po[..., None, None]
 
-    # AABB-only clip (no records from it).
+    # AABB-only clip (no records from it). Duplicate-vertex cull
+    # matches _rasterize_fwd_core / _build_records_cm: a bitwise-dup
+    # (x,y,w) pair gives an exact-zero edge row, and pD noise could
+    # otherwise keep the triangle alive with garbage coverage.
     sub, svalid = _near_clip_subtris(tv)  # [.., T, 2, 3, 4], [.., T, 2]
-    valid = (pD != 0.0) & svalid.any(axis=-1)
+    valid = ((pD != 0.0) & ~_degenerate_tri_mask(tv)
+             & svalid.any(axis=-1))
 
     lead = tv.shape[:-3]
     T = tv.shape[-3]
