@@ -126,6 +126,10 @@ def main():
         if esc.any():
             for i in np.nonzero(esc)[0]:
                 hits.append((v[i], int(n_esc[i]), int(n_cov[i])))
+            # Incremental save: long runs can be killed/timeout.
+            np.save("/tmp/escapees.npy", np.stack([h[0] for h in hits]))
+            print(f"batch {b}: hit -> {len(hits)} total; verts="
+                  f"{v[np.nonzero(esc)[0][0]].tolist()}", flush=True)
         if b % 20 == 0:
             print(f"batch {b}: {tot} tried, {len(hits)} escapees",
                   flush=True)

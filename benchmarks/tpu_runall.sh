@@ -16,7 +16,7 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:/root/.axon_site"
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
-LOGDIR=/tmp/tpu_r4
+LOGDIR=${TPU_LOGDIR:-/tmp/tpu_r5}
 mkdir -p "$LOGDIR"
 
 want() {  # want <name> [stage...]: true if no stage args given or <name> listed
@@ -45,6 +45,8 @@ run bench   1800 python bench.py
 run paths   1800 python benchmarks/smoke_paths.py
 # 3b. Binning-prepass stage breakdown (argsort vs layout cost).
 run binning 2400 python benchmarks/profile_binning.py
+# 3c. _csr_layout tail breakdown (slot map / gather / pack / gaabb).
+run csrtail 2400 python benchmarks/profile_csrtail.py
 # 4. Big-mesh throughput (CSR segments): 81k / 1M tris.
 run bigmesh 2400 python benchmarks/profile_bigmesh.py
 # 5. Big-texture fused sampler (HBM windowed gather) incl. earth-scale atlas.

@@ -43,6 +43,14 @@ LANE = 128
 _MAX_VMEM_TABLE = 1 << 21
 _MAX_A = 8  # channel cap (A == C): AA blend + attr combine per channel
 
+# Dev knob (benchmarks/profile_bwdkernel.py): stage names here are
+# compiled OUT of pipeline_bwd (zeros written instead) so the kernel's
+# per-stage cost can be measured by differencing. Production value is
+# the empty set. Stages: 'aa' (pair replay + color grads), 'roll'
+# (cross-pixel roll adds), 'interp' (attr-grad rows + bary grads),
+# 'raster' (vertex-position rows).
+_ABLATE = frozenset()
+
 
 def supported(A, R):
     """Can the fused pipeline serve this config? (attrs, table rows)."""
@@ -352,15 +360,17 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
                   ax1_ref))):
             al = al_ref[...]
             apos = al > 0
+            rid_ref[...] = ro + jnp.zeros(id0.shape, jnp.int32)
+            for k in range(9):
+                gv_ref[k] = zero
+            if "aa" in _ABLATE:
+                continue
             # Color-gradient update is cheap elementwise and exact (an
             # identity where al == 0); only the pair replay (gathers +
             # analytic position grads) is guarded on block activity.
             pdy = [jnp.where(apos, dy0[c], dy1_ref[c]) for c in range(A)]
             for c in range(A):
                 gc[c] = gc[c] - al * pdy[c]
-            rid_ref[...] = ro + jnp.zeros(id0.shape, jnp.int32)
-            for k in range(9):
-                gv_ref[k] = zero
 
             # Silhouette pairs are sparse: blocks whose recorded alpha
             # is all-zero contribute exact zeros — skip the replay.
@@ -395,12 +405,13 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
         # backward-shifted alpha/dy: v[p - s] depends only on
         # alpha[p - s] and (dy[p - s], dy[p]). Addition order matches
         # the composed path: ((dy - v0) - v1) + roll(v0) + roll(v1).
-        a0m = al0m_ref[...]
-        a1m = al1m_ref[...]
-        for c in range(A):
-            vm0 = a0m * jnp.where(a0m > 0, dym1_ref[c], dy0[c])
-            vm1 = a1m * jnp.where(a1m > 0, dymW_ref[c], dy0[c])
-            gc[c] = gc[c] + vm0 + vm1
+        if "roll" not in _ABLATE:
+            a0m = al0m_ref[...]
+            a1m = al1m_ref[...]
+            for c in range(A):
+                vm0 = a0m * jnp.where(a0m > 0, dym1_ref[c], dy0[c])
+                vm1 = a1m * jnp.where(a1m > 0, dymW_ref[c], dy0[c])
+                gc[c] = gc[c] + vm0 + vm1
 
         # --- interpolate backward (interpolate.cu:131-274) --------------
         tid0 = id0.astype(jnp.int32) - 1
@@ -412,22 +423,26 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
         # Background-only blocks produce exact zero gradient rows.
         @pl.when(jnp.any(valid))
         def _grad_body():
-            _masked_gather(atbl_ref, rid0v, valid, K,
-                           [_Sub(g_ref, k) for k in range(K)])
-            bb0 = jnp.where(valid, b0_ref[...], 0.0)
-            bb1 = jnp.where(valid, b1_ref[...], 0.0)
-            bb2 = jnp.where(valid, 1.0 - b0_ref[...] - b1_ref[...], 0.0)
-
             gb0 = zero
             gb1 = zero
-            for a in range(A):
-                gb0 = gb0 + gc[a] * (g_ref[a] - g_ref[2 * A + a])
-                gb1 = gb1 + gc[a] * (g_ref[A + a] - g_ref[2 * A + a])
-            for a in range(A):
-                gvr_ref[a] = jnp.where(valid, bb0 * gc[a], 0.0)
-                gvr_ref[A + a] = jnp.where(valid, bb1 * gc[a], 0.0)
-                gvr_ref[2 * A + a] = jnp.where(valid, bb2 * gc[a], 0.0)
+            if "interp" not in _ABLATE:
+                _masked_gather(atbl_ref, rid0v, valid, K,
+                               [_Sub(g_ref, k) for k in range(K)])
+                bb0 = jnp.where(valid, b0_ref[...], 0.0)
+                bb1 = jnp.where(valid, b1_ref[...], 0.0)
+                bb2 = jnp.where(valid, 1.0 - b0_ref[...] - b1_ref[...],
+                                0.0)
 
+                for a in range(A):
+                    gb0 = gb0 + gc[a] * (g_ref[a] - g_ref[2 * A + a])
+                    gb1 = gb1 + gc[a] * (g_ref[A + a] - g_ref[2 * A + a])
+                for a in range(A):
+                    gvr_ref[a] = jnp.where(valid, bb0 * gc[a], 0.0)
+                    gvr_ref[A + a] = jnp.where(valid, bb1 * gc[a], 0.0)
+                    gvr_ref[2 * A + a] = jnp.where(valid, bb2 * gc[a], 0.0)
+
+            if "raster" in _ABLATE:
+                return
             # --- rasterize backward (rasterize.cu:119-273, no db) -------
             _masked_gather(vtbl_ref, rid0v, valid,
                            9, [_Sub(t9_ref, k) for k in range(9)])

@@ -48,8 +48,12 @@ _PALLAS_OUT_BYTES = 10 << 20
 
 
 # SMEM budget for the per-(block, chunk) remap table of the row-blocked
-# path (int32 entries).
-_SCAT_REMAP_MAX = 1 << 15
+# path (int32 entries). 2^17 entries = 512 KB of scalar memory: the
+# earth-atlas texture gradient (NTe ~4.2M rows -> NB ~20 blocks x ~2k
+# chunks) needs ~40k entries and previously fell back to the XLA
+# scatter lowering (~2.6 s fwd+bwd, benchmarks/results_r4.md) because
+# the 2^15 cap rejected it.
+_SCAT_REMAP_MAX = 1 << 17
 _CHUNK = 1 << 15
 _P_CHUNK = 8192  # pixels per grid step (amortizes per-step DMA/grid
                  # cost; 16384 overflows scoped VMEM via the F-expanded

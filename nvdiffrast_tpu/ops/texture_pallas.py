@@ -283,6 +283,59 @@ def ext_meta(meta, L, NT):
     return tuple(out), eoff, B_tex
 
 
+def ext_meta_tiled(meta, L, NT):
+    """(8, 128)-tiled apron-pyramid layout for the gradient scatter.
+
+    Row-major apron ids give an image tile's contributions an id SPAN
+    of ~(bbox rows) * (level width): the windowed MXU scatter then
+    sweeps every 128-id window under the bbox rows — measured as the
+    dominant texture-backward cost (most windows in the span are
+    live-tested or hit). Tiling the apron grid into (8, 128) texel
+    tiles (the TPU-native layout) makes a bbox's ids span ~its AREA:
+    ~4x fewer windows for a 17x130-texel footprint.
+
+    Returns ((eoff_t, hl, wl, hep, wep) per level, NTe_tiled, B_tex)
+    where hep/wep are the apron dims padded to (8, 128) multiples.
+    """
+    texels = sum(h * w for _, h, w in meta[:L])
+    B_tex = NT // texels
+    out = []
+    eoff = 0
+    for lev in range(L):
+        _, hl, wl = meta[lev]
+        hep = _cdiv(hl + 2, 8) * 8
+        wep = _cdiv(wl + 2, LANE) * LANE
+        out.append((eoff, hl, wl, hep, wep))
+        eoff += B_tex * hep * wep
+    return tuple(out), eoff, B_tex
+
+
+def tiled_apron_id(eoff_t, hep, wep, tz, r, c):
+    """Flat id of apron texel (r, c) in the (8, 128)-tiled level grid.
+
+    r/c may be any int32 arrays in [0, hep) x [0, wep); tiles are laid
+    row-major, texels row-major inside each (8, 128) tile."""
+    return (eoff_t + tz * (hep * wep)
+            + (r >> 3) * (wep * 8) + (c >> 7) * 1024
+            + (r & 7) * LANE + (c & 127))
+
+
+def untile_ext_grad(g_ext_t, emeta_t, L, B_tex):
+    """[K, NTe_tiled] tiled apron sums -> [K, NTe] row-major apron
+    layout (the fold_ext_grad input)."""
+    K = g_ext_t.shape[0]
+    parts = []
+    for lev in range(L):
+        eoff, hl, wl, hep, wep = emeta_t[lev]
+        n = B_tex * hep * wep
+        E = g_ext_t[:, eoff:eoff + n].reshape(
+            K, B_tex, hep // 8, wep // LANE, 8, LANE)
+        E = jnp.transpose(E, (0, 1, 2, 4, 3, 5)).reshape(
+            K, B_tex, hep, wep)
+        parts.append(E[:, :, :hl + 2, :wl + 2].reshape(K, -1))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _fold_last(T, n, mode, shift):
     """Fold a (n+2)-wide extended last axis onto n real texels.
 
@@ -942,8 +995,13 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
     # Texture gradient on the apron lattice: ONE MXU one-hot scatter
     # for all corners of all mip slots (cell ids + 2C value rows; the
     # two cell rows ride concatenated pixel streams), then fold the
-    # apron borders back per boundary mode. See lattice_setup.
+    # apron borders back per boundary mode. Cell ids address the
+    # (8, 128)-TILED apron pyramid so an image tile's id span tracks
+    # its footprint AREA, not rows x level width (see ext_meta_tiled);
+    # the tiled sums are untiled back to the row-major apron layout
+    # before the boundary fold.
     emeta, NTe, B_tex = ext_meta(meta, L, NT)
+    emeta_t, NTe_t, _ = ext_meta_tiled(meta, L, NT)
     if filter_mode == "linear-mipmap-linear":
         slots = ((l0, 1.0 - frac), (l1, frac))
     else:
@@ -952,28 +1010,32 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
     # L-deep cascade of full-image lattice_setups (the cascade was
     # 2L elementwise setups over every pixel — measurable XLA glue at
     # 4M pixels x L=10).
-    eoff_a = jnp.asarray([e[0] for e in emeta], jnp.int32)
-    hl_a = jnp.asarray([e[1] for e in emeta], jnp.int32)
-    wl_a = jnp.asarray([e[2] for e in emeta], jnp.int32)
+    eoff_a = jnp.asarray([e[0] for e in emeta_t], jnp.int32)
+    hl_a = jnp.asarray([e[1] for e in emeta_t], jnp.int32)
+    wl_a = jnp.asarray([e[2] for e in emeta_t], jnp.int32)
+    hep_a = jnp.asarray([e[3] for e in emeta_t], jnp.int32)
+    wep_a = jnp.asarray([e[4] for e in emeta_t], jnp.int32)
     ids_parts = []
     vals_parts = []
     for lsel, lw in slots:
         hl = jnp.take(hl_a, lsel)
         wl = jnp.take(wl_a, lsel)
+        hep = jnp.take(hep_a, lsel)
+        wep = jnp.take(wep_a, lsel)
+        eoff_t = jnp.take(eoff_a, lsel)
         ju, jv, w4s = lattice_setup(ut, vt, hl, wl, boundary_mode)
-        ws = wl + 2
-        eid = (jnp.take(eoff_a, lsel) + tzt * ((hl + 2) * ws)
-               + (jv + 1) * ws + (ju + 1))
         dlw = dyt * lw[None, :]  # [C, Np]
         for dv in (0, 1):  # cell row dv: corners (0, dv), (1, dv)
-            ids_parts.append(eid + dv * ws)
+            ids_parts.append(tiled_apron_id(eoff_t, hep, wep, tzt,
+                                            jv + 1 + dv, ju + 1))
             vals_parts.append(jnp.concatenate(
                 [dlw * w4s[2 * dv][None], dlw * w4s[2 * dv + 1][None]],
                 axis=0))  # [2C, Np], du-major
-    g_ext = scatter_add_by_id(
+    g_ext_t = scatter_add_by_id(
         jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
-        NTe, coherent=True,
-        p_chunk=_SCAT_P_CHUNK).T  # [2C, NTe] (tile-ordered -> sorted-ish)
+        NTe_t, coherent=True,
+        p_chunk=_SCAT_P_CHUNK).T  # [2C, NTe_t] (tile-ordered -> sorted-ish)
+    g_ext = untile_ext_grad(g_ext_t, emeta_t, L, B_tex)
     g_flat = fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C)
 
     return (g_flat, gu, gv, gfl, None)

@@ -193,11 +193,19 @@ def test_csr_sliver_exact_ids(seed):
 
 # Triangles found by benchmarks/find_escapees.py: vectorized-f32
 # emulation of the kernel's exact record-coefficient + affine-eval
-# arithmetic, searched over 8M random slivers for ones whose f32
-# coverage polytope claims a pixel center OUTSIDE the projected vertex
-# AABB + 0.5 px binning pad at 256x256. Each row is one triangle's
+# arithmetic, hunting for triangles whose f32 coverage polytope claims
+# a pixel center OUTSIDE the projected vertex AABB + 0.5 px binning
+# pad at 256x256. Each row is one triangle's
 # [x0,y0,z0,w0, x1,y1,z1,w1, x2,y2,z2,w2] clip coords, verbatim
 # (repr round-trips float32 exactly).
+#
+# History: the 32 rows were found against the round-4 plain-f32
+# coefficient construction (32 escapees / 8M candidates). The round-5
+# correctly-rounded _dop construction shrinks polytope drift to the
+# 0.5-ulp + eval-rounding scale: re-searching 56M candidates under it
+# found only 4 escapees, one of which (row 6) is in this list. The
+# legacy rows are kept as sliver parity stress (most no longer cover
+# any pixel at all — itself evidence of the accuracy win).
 _ESCAPEE_VERTS = [
     [1.1497044563293457, 1.1547437906265259, -0.5420172214508057, 2.3586673736572266, 1.032828688621521, 1.3109936714172363, -0.5420172214508057, 2.3586673736572266, 1.0793559551239014, 1.2487906217575073, -0.5420172214508057, 2.3586673736572266],
     [0.735187828540802, 1.46221923828125, 0.11707647144794464, 2.193502426147461, 0.8007091283798218, 1.5943899154663086, 0.11707647144794464, 2.193502426147461, 0.7753080129623413, 1.5431513786315918, 0.11707647144794464, 2.193502426147461],
@@ -267,7 +275,9 @@ def test_csr_escapee_exact_ids():
         rp._REMAP_MAX_ENTRIES = orig
     ids_x = np.asarray(r_x[..., 3])
     # Each escapee covers ~1 px; a few may overlap another's pixel.
-    assert (ids_x > 0).sum() >= T - 4, "escapee slivers should cover pixels"
+    # Under the correctly-rounded construction most legacy slivers no
+    # longer cover anything; at least the re-confirmed escapee must.
+    assert (ids_x > 0).sum() >= 1, "no sliver covers any pixel"
     np.testing.assert_array_equal(ids_x, np.asarray(r_p[..., 3]))
     np.testing.assert_array_equal(ids_x, np.asarray(r_c[..., 3]))
 
