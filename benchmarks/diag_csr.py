@@ -74,20 +74,19 @@ def main():
     print(f"nty={nty} ntx={ntx} tile_w={tile_w} chunk={chunk}")
 
     def layout(pos, tri):
-        tv = pos[:, tri][0]
         tri_ids = jnp.arange(T, dtype=jnp.int32)
-        rec, sub, sval, slop = rp._build_records(tv, tri_ids)
-        xmin, ymin, xmax, ymax, ok = rp._pixel_aabb(sub, sval, H, W, 0, H,
-                                                    slop=slop)
-        aabb = (xmin.min(axis=-1), ymin.min(axis=-1),
-                xmax.max(axis=-1), ymax.max(axis=-1), ok.any(axis=-1))
+        rec_cm, clipc, valid, slop = rp._build_records_cm(pos[0], tri,
+                                                          tri_ids)
+        sx, sy, sw, sv = clipc
+        aabb = rp._aabb_union_cols(sx, sy, sw, sv, valid, slop, H, W, 0, H)
         rec_l, gaabb, cstart, ccnt = rp._csr_layout(
-            rec, aabb, nty, ntx, tile_w, chunk)
+            rec_cm, aabb, nty, ntx, tile_w, chunk)
         return aabb, rec_l, gaabb, cstart, ccnt
 
     aabb, rec_l, gaabb, cstart, ccnt = jax.jit(layout)(pos, tri)
     xmin, ymin, xmax, ymax, ok = [np.asarray(a) for a in aabb]
-    rec_idf = np.asarray(rec_l[:, 15])
+    # rec_l is lane-packed [S_pad/GROUP, GROUP*16]: unpack idf (f=15).
+    rec_idf = np.asarray(rec_l).reshape(-1, rp.GROUP, 16)[..., 15].ravel()
     gaabb = np.asarray(gaabb)
     cstart = np.asarray(cstart)
     ccnt = np.asarray(ccnt)

@@ -52,16 +52,15 @@ def main():
         timeit(f"raster fwd T={T}", jax.jit(fwd), [(p,) for p in pcs])
 
         def prep(p):
-            tv = p[:, tri]
             tri_ids = jnp.arange(T, dtype=jnp.int32)
-            rec, sub_f, sval_f, slop = rp._build_records(tv[0], tri_ids)
-            xmin, ymin, xmax, ymax, ok = rp._pixel_aabb(
-                sub_f, sval_f, RES, RES, 0, RES, slop=slop)
-            aabb = (xmin.min(axis=-1), ymin.min(axis=-1),
-                    xmax.max(axis=-1), ymax.max(axis=-1), ok.any(axis=-1))
+            rec_cm, clipc, valid, slop = rp._build_records_cm(p[0], tri,
+                                                              tri_ids)
+            sx, sy, sw, sv = clipc
+            aabb = rp._aabb_union_cols(sx, sy, sw, sv, valid, slop,
+                                       RES, RES, 0, RES)
             nty = -(-RES // rp.TILE_H)
-            rec_s, gaabb = rp._sort_records(rec, aabb, nty, 2, 1024)
-            return rec_s[0, 0]
+            rec_s, gaabb = rp._sort_records(rec_cm, aabb, nty, 2, 1024)
+            return rec_s[0]
 
         timeit(f"  binning prepass only T={T}", jax.jit(prep),
                [(p,) for p in pcs])
