@@ -63,6 +63,8 @@ run texpipe 2400 python benchmarks/profile_texpipe.py
 run texk    2400 python benchmarks/profile_texkernel.py
 # 8. Headline-pipeline cumulative stage profile (where the 22 ms goes).
 run fusion  2400 python benchmarks/profile_fusion.py
+# 8b. Pipeline-backward kernel stage ablation (where the bwd ms go).
+run bwdk    3600 python benchmarks/profile_bwdkernel.py
 
 echo "=== all logs in $LOGDIR ==="
 grep -l "Traceback\|rc=1" "$LOGDIR"/*.log 2>/dev/null || true

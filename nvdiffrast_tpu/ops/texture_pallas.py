@@ -718,6 +718,8 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
         rest = refs[1 + n_big:]
         if mode == "fwd":
             (u_ref, v_ref, fl_ref, tz_ref, out_ref, *scr) = rest
+        elif mode == "fwd_stash":
+            (u_ref, v_ref, fl_ref, tz_ref, out_ref, qs_ref, *scr) = rest
         else:
             (u_ref, v_ref, fl_ref, tz_ref, dy_ref,
              gu_ref, gv_ref, gfl_ref, *scr) = rest
@@ -725,6 +727,7 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
             q_ref, wscr_ref, sem = scr
         else:
             (q_ref,) = scr
+        n_slots = 2 if filter_mode == "linear-mipmap-linear" else 1
 
         u = u_ref[...]
         v = v_ref[...]
@@ -738,9 +741,12 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
         lmin = jnp.min(l0)
         lmax = jnp.max(l1)
 
-        if mode == "fwd":
+        if mode in ("fwd", "fwd_stash"):
             for c in range(C):
                 out_ref[c] = jnp.zeros(u.shape, jnp.float32)
+            if mode == "fwd_stash":
+                for k in range(3 * C * n_slots):
+                    qs_ref[k] = jnp.zeros(u.shape, jnp.float32)
         else:
             dy = [dy_ref[c] for c in range(C)]
             gu_ref[...] = jnp.zeros(u.shape, jnp.float32)
@@ -777,7 +783,8 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
                                     q_ref)
                 fu, fv, w4, ok4 = setup[4], setup[5], setup[6], setup[7]
 
-                if mode == "fwd":
+                if mode in ("fwd", "fwd_stash"):
+                    zero_bm = boundary_mode == "zero"
                     for c in range(C):
                         val = (w4[0] * q_ref[4 * c + 0]
                                + w4[1] * q_ref[4 * c + 1]
@@ -785,6 +792,33 @@ def _build_kernel(mode, C, L, meta_k, boundary_mode, filter_mode, n_big=0,
                                + w4[3] * q_ref[4 * c + 3])
                         out_ref[c] = out_ref[c] + jnp.where(
                             active, wgt * val, 0.0)
+                        if mode != "fwd_stash":
+                            continue
+                        # Stash the backward's per-slot ingredients
+                        # (exactly the bwd branch's dqu/dqv/val math)
+                        # so the wrt-uv backward needs no re-gather:
+                        # rows [slot*3C + {c, C+c, 2C+c}] =
+                        # (dqu, dqv, val) of channel c.
+                        q00 = q_ref[4 * c + 0]
+                        q10 = q_ref[4 * c + 1]
+                        q01 = q_ref[4 * c + 2]
+                        q11 = q_ref[4 * c + 3]
+                        if zero_bm:
+                            q00 = q00 * ok4[0]
+                            q10 = q10 * ok4[1]
+                            q01 = q01 * ok4[2]
+                            q11 = q11 * ok4[3]
+                        dqu = (1.0 - fv) * (q10 - q00) + fv * (q11 - q01)
+                        dqv = (1.0 - fu) * (q01 - q00) + fu * (q11 - q10)
+                        slot_on = (on0, on1)[:n_slots]
+                        for s, on in enumerate(slot_on):
+                            b = 3 * C * s
+                            qs_ref[b + c] = jnp.where(
+                                on & active, dqu, qs_ref[b + c])
+                            qs_ref[b + C + c] = jnp.where(
+                                on & active, dqv, qs_ref[b + C + c])
+                            qs_ref[b + 2 * C + c] = jnp.where(
+                                on & active, val, qs_ref[b + 2 * C + c])
                 else:
                     zero_bm = boundary_mode == "zero"
                     gu = jnp.zeros(u.shape, jnp.float32)
@@ -910,6 +944,14 @@ def _call_sampler(mode, flat_cm, u, v, flevel, tz, dy_cm, meta, L, C,
         in_specs.append(chan_spec)
         out_specs = [flat_spec] * 3
         out_shape = [jax.ShapeDtypeStruct((rows_p, LANE), jnp.float32)] * 3
+    elif mode == "fwd_stash":
+        n_slots = 2 if filter_mode == "linear-mipmap-linear" else 1
+        SK = 3 * C * n_slots
+        qs_spec = pl.BlockSpec((SK, BLKR, LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = [chan_spec, qs_spec]
+        out_shape = [jax.ShapeDtypeStruct((C, rows_p, LANE), jnp.float32),
+                     jax.ShapeDtypeStruct((SK, rows_p, LANE), jnp.float32)]
     else:
         out_specs = [chan_spec]
         out_shape = [jax.ShapeDtypeStruct((C, rows_p, LANE), jnp.float32)]
@@ -964,30 +1006,65 @@ def sample_fused(flat_cm, u, v, flevel, tz, meta, L, boundary_mode,
 
 def _sample_fwd(flat_cm, u, v, flevel, tz, meta, L, boundary_mode,
                 filter_mode, shape, interpret):
-    out = sample_fused(flat_cm, u, v, flevel, tz, meta, L, boundary_mode,
-                       filter_mode, shape, interpret)
-    return out, (flat_cm, u, v, flevel, tz)
+    # Differentiated forward: the fwd_stash kernel additionally emits
+    # the backward's per-slot (dqu, dqv, val) rows (see _build_kernel)
+    # so _sample_bwd's uv/level gradients are pure elementwise math —
+    # no second corner-gather sweep. ~3C*slots*N floats of residual
+    # traffic replaces the full bwd kernel (the re-gather sweep was
+    # ~26 ms at 2048^2; the stash is ~1 ms of HBM). The undifferentiated
+    # primal (inference) still runs the plain 'fwd' kernel.
+    C = flat_cm.shape[0]
+    B, H, W = shape
+    ut, vt, flt, tzt = (_tile_order(a, B, H, W)
+                        for a in (u, v, flevel, tz))
+    out, stash = _call_sampler("fwd_stash", flat_cm, ut, vt, flt, tzt,
+                               None, meta, L, C, boundary_mode,
+                               filter_mode, interpret=interpret)
+    # Residuals stay TILE-MAJOR (the bwd scatter wants that order).
+    return (_tile_unorder(out, B, H, W),
+            (flat_cm, ut, vt, flt, tzt, stash))
 
 
 def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
                 saved, dy):
     from .scatter import scatter_add_by_id
 
-    flat_cm, u, v, flevel, tz = saved
+    flat_cm, ut, vt, flt, tzt, stash = saved
     C, NT = flat_cm.shape
     B, H, W = shape
 
-    # Tile-major order: compact per-block uv ranges for the kernel AND
-    # window-local texel ids for the MXU scatter. Padding pixels carry
-    # dy = 0 so their (edge-replicated uv) ids scatter nothing.
-    ut, vt, flt, tzt = (_tile_order(a, B, H, W)
-                        for a in (u, v, flevel, tz))
+    # Residuals are tile-major already; only dy needs reordering.
+    # Padding pixels carry dy = 0 so their (edge-replicated uv) ids
+    # scatter nothing and their stash rows contribute nothing.
     dyt = _tile_order(dy, B, H, W, fill=0.0)
     l0, l1, frac = level_weights(flt, L, filter_mode)
 
-    gu, gv, gfl = _call_sampler(
-        "bwd", flat_cm, ut, vt, flt, tzt, dyt, meta, L, C, boundary_mode,
-        filter_mode, interpret=interpret)
+    # uv/level gradients from the stashed per-slot (dqu, dqv, val)
+    # rows — same per-level math as the old bwd kernel
+    # (d bilerp/d fu scaled by wl, level blend weight, dwdf), but pure
+    # elementwise over the residual streams. Real level dims here
+    # (not the apron's).
+    rl_h = jnp.asarray([m[1] for m in meta], jnp.int32)
+    rl_w = jnp.asarray([m[2] for m in meta], jnp.int32)
+    n_slots = 2 if filter_mode == "linear-mipmap-linear" else 1
+    if n_slots == 2:
+        uv_slots = ((l0, 1.0 - frac, -1.0), (l1, frac, 1.0))
+    else:
+        uv_slots = ((l0, jnp.ones_like(frac), 0.0),)
+    gu = jnp.zeros_like(flt)
+    gv = jnp.zeros_like(flt)
+    gfl = jnp.zeros_like(flt)
+    for s, (lsel, lwgt, dsign) in enumerate(uv_slots):
+        b = 3 * C * s
+        du = sum(dyt[c] * stash[b + c] for c in range(C))
+        dv = sum(dyt[c] * stash[b + C + c] for c in range(C))
+        dval = sum(dyt[c] * stash[b + 2 * C + c] for c in range(C))
+        wl_f = jnp.take(rl_w, lsel).astype(jnp.float32)
+        hl_f = jnp.take(rl_h, lsel).astype(jnp.float32)
+        gu = gu + lwgt * du * wl_f
+        gv = gv + lwgt * dv * hl_f
+        if dsign:
+            gfl = gfl + dsign * dval
     gu = _tile_unorder(gu, B, H, W)
     gv = _tile_unorder(gv, B, H, W)
     gfl = _tile_unorder(gfl, B, H, W)
