@@ -413,11 +413,18 @@ def _build_records_cm(pos, tri, tri_ids):
 
 def _pack_records(rec_cm):
     """[.., 16, S] -> [.., S/8, 128] lane-packed GROUP rows
-    (packed[.., g, k*16 + f] = rec_cm[.., f, g*8 + k])."""
+    (packed[.., g, k*16 + f] = rec_cm[.., f, g*8 + k]).
+
+    One transpose + reshape: the equivalent 128-slice jnp.stack was
+    measured at 48 ms for 3.4M records on TPU (the stack's consumers
+    re-materialize the producer per slice), vs a single optimized
+    transpose here (benchmarks/profile_csrtail.py)."""
     S = rec_cm.shape[-1]
-    arr = rec_cm.reshape(rec_cm.shape[:-2] + (16, S // GROUP, GROUP))
-    return jnp.stack([arr[..., f, :, k]
-                      for k in range(GROUP) for f in range(16)], axis=-1)
+    lead = rec_cm.shape[:-2]
+    n = len(lead)
+    arr = rec_cm.reshape(lead + (16, S // GROUP, GROUP))
+    arr = jnp.transpose(arr, tuple(range(n)) + (n + 1, n + 2, n))
+    return arr.reshape(lead + (S // GROUP, GROUP * 16))
 
 
 def _pixel_aabb(sub, ok, H, W, y0, Hf, slop=None):
