@@ -570,15 +570,20 @@ def _csr_layout(rec_cm, aabb, nty, ntx, tile_w, chunk):
     key = jnp.where(local, band0 * ntx + tx0,
                     jnp.where(bandonly, nk0 + band0, nk0 + nty))
     key = jnp.where(ok, key, n_seg)
-    order, _ = _stable_order(key, n_seg)
+    order, key_sorted = _stable_order(key, n_seg)
 
-    counts = jnp.zeros((n_seg,), jnp.int32).at[
-        jnp.clip(key, 0, n_seg - 1)].add(ok.astype(jnp.int32))
+    # Per-segment counts/starts from the SORTED keys: n_seg binary
+    # searches over the sorted [S] array instead of a 3M-element
+    # scatter-add (part of the measured 28 ms "slotmap" stage,
+    # benchmarks/profile_csrtail.py). seg0[k] = first sorted position
+    # of segment k.
+    seg0 = jnp.searchsorted(
+        key_sorted, jnp.arange(n_seg + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)  # [n_seg+1], sorted-order starts
+    counts = jnp.diff(seg0)  # [n_seg]
     ccnt = -(-counts // chunk)  # blocks per segment
     cstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(ccnt)])  # [n_seg+1], blocks
-    seg0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(counts)])  # sorted-order starts
 
     # Slot -> segment mapping at BLOCK granularity: a max-scatter of
     # segment ids at their start blocks + cummax reproduces
@@ -601,39 +606,20 @@ def _csr_layout(rec_cm, aabb, nty, ntx, tile_w, chunk):
     jr = jnp.arange(S_pad, dtype=jnp.int32) % chunk
     r = expand(r0_blk) + jr
     valid_slot = expand(valid_blk) & (r < expand(counts[kc_blk]))
-
-    # Layout by CONTIGUOUS COPIES, not a random gather. Each chunk
-    # block belongs to exactly one segment (segments are laid out
-    # chunk-aligned), so its source slots are consecutive positions of
-    # the key-sorted order: src = seg0[k] + r0 + (0..chunk-1). One
-    # sorted-order gather (the same one _sort_records pays) plus one
-    # dynamic slice per block replaces the composed [16, S_pad] random
-    # gather — XLA:TPU gathers cost ~ns/element, which made the old
-    # formulation ~80 ms of the 105 ms 1M-tri prepass
-    # (benchmarks/profile_csrtail.py).
-    sorted20 = jnp.concatenate(
-        [rec_cm[:, order],
-         xmin[order][None], ymin[order][None],
-         xmax[order][None], ymax[order][None]], axis=0)  # [20, S]
-    sorted20 = jnp.pad(sorted20, ((0, 0), (0, chunk)))
-    starts = jnp.clip(seg0[kc_blk] + r0_blk, 0, S)  # [nb]
-
-    def copy_block(acc, b):
-        win = jax.lax.dynamic_slice(sorted20, (0, starts[b]), (20, chunk))
-        acc = jax.lax.dynamic_update_slice(acc, win, (0, b * chunk))
-        return acc, None
-
-    laid20, _ = jax.lax.scan(copy_block, jnp.zeros((20, S_pad),
-                                                   jnp.float32),
-                             jnp.arange(nb, dtype=jnp.int32))
+    # One composed gather lays the records out (measured 12.7 ms at
+    # 3.4M slots — benchmarks/profile_csrtail.py; a scan of per-chunk
+    # dynamic-slice copies was tried and cost ~140 ms in TPU loop
+    # overhead despite being "contiguous"). The layout's former 105 ms
+    # cost was _pack_records' 128-slice stack, fixed separately.
+    src = order[jnp.clip(expand(seg0[kc_blk]) + r, 0, S - 1)]
 
     safe_cm = jnp.zeros((16, 1), jnp.float32).at[15, 0].set(_ID_INVALID)
-    rec_l = jnp.where(valid_slot[None, :], laid20[:16], safe_cm)
+    rec_l = jnp.where(valid_slot[None, :], rec_cm[:, src], safe_cm)
 
-    gx0 = jnp.where(valid_slot, laid20[16], _BIG)
-    gy0 = jnp.where(valid_slot, laid20[17], _BIG)
-    gx1 = jnp.where(valid_slot, laid20[18], -_BIG)
-    gy1 = jnp.where(valid_slot, laid20[19], -_BIG)
+    gx0 = jnp.where(valid_slot, xmin[src], _BIG)
+    gy0 = jnp.where(valid_slot, ymin[src], _BIG)
+    gx1 = jnp.where(valid_slot, xmax[src], -_BIG)
+    gy1 = jnp.where(valid_slot, ymax[src], -_BIG)
     ng = S_pad // GROUP
 
     def greduce(v, red):
