@@ -28,9 +28,15 @@ RES = 2048
 
 
 def main():
-    ts = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    print(f"backend: {jax.default_backend()}  tex {ts}^2  render {RES}^2"
-          f"  tiled_ids={tp._TILED_IDS}", flush=True)
+    arg = sys.argv[1] if len(sys.argv) > 1 else "512"
+    if "x" in arg:  # e.g. 1536x2048 (the earth atlas; needs max_mip 9)
+        th, tw = (int(p) for p in arg.split("x"))
+        max_mip = 9
+    else:
+        th = tw = int(arg)
+        max_mip = -1
+    print(f"backend: {jax.default_backend()}  tex {th}x{tw}  render "
+          f"{RES}^2  tiled_ids={tp._TILED_IDS}", flush=True)
     rng = np.random.RandomState(0)
     yy, xx = np.meshgrid(np.linspace(0, 1, RES), np.linspace(0, 1, RES),
                          indexing="ij")
@@ -38,13 +44,14 @@ def main():
     uv = jnp.asarray(uv.astype(np.float32))
     uv_da = jnp.asarray(
         rng.uniform(1e-4, 1e-3, (1, RES, RES, 4)).astype(np.float32))
-    tex = jnp.asarray(rng.rand(1, ts, ts, 3).astype(np.float32))
+    tex = jnp.asarray(rng.rand(1, th, tw, 3).astype(np.float32))
     us = [uv * jnp.float32(1.0 + i * 1e-6) for i in range(3)]
 
     def tex_op(t, u):
         return texture(t, u, uv_da=uv_da,
                        filter_mode="linear-mipmap-linear",
-                       boundary_mode="wrap", impl="pallas")
+                       boundary_mode="wrap", impl="pallas",
+                       max_mip_level=max_mip)
 
     def fwd(t, u):
         return (jnp.sum(tex_op(t, u)),)

@@ -17,20 +17,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from bench import _measure  # window-difference timing
+
 from nvdiffrast_tpu.ops.texture import texture
 
 
-def timeit(fn, args_list, iters=6):
-    fn(*args_list[0])[0].block_until_ready()
-    outs = []
-    t0 = time.perf_counter()
-    for i in range(iters):
-        outs.append(fn(*args_list[i % len(args_list)]))
-    for o in outs:
-        o[0].block_until_ready()
-    # Force a device->host read so axon actually syncs.
-    float(jnp.sum(outs[-1][0]))
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, args_list, iters=None):
+    # Window-difference timing: on axon, block_until_ready can no-op,
+    # so the old per-iter scheme let leftover COMPILE time leak into
+    # the first window — round-5's 1856 ms "regression" at 1024² was
+    # entirely that artifact (benchmarks/bisect_texbwd.py measured the
+    # same program at 97 ms with _measure).
+    def step(*a):
+        out = fn(*a)
+        leaf = jax.tree.leaves(out)[0]
+        return (leaf.ravel()[:1],)
+    return _measure(jax.jit(step), args_list)
 
 
 def main():
