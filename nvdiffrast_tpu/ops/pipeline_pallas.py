@@ -60,54 +60,11 @@ def supported(A, R):
 
 
 def _blkr_fwd(A):
-    # 128 keeps the stacked in/out blocks + scratch comfortably inside
-    # VMEM with double buffering (256 was tuned for the pre-stacked
-    # era of many small blocks; with ONE wide block per side the
-    # per-step overhead it amortized is gone).
-    return 128
+    return 256 if A <= 4 else 128
 
 
 def _blkr_bwd(A):
-    return 64
-
-
-class _RowRef:
-    """One row of a stacked [K, BLKR, LANE] ref, posing as a flat
-    [BLKR, LANE] ref (whole-block reads/writes only). Streams are
-    STACKED so each grid step issues ONE input and ONE output DMA
-    instead of ~70: the backward's cost was measured as almost
-    entirely per-block DMA issue overhead, not compute
-    (benchmarks/profile_bwdkernel.py: all-stages-ablated 20.29 ms vs
-    full 21.53). `cast` reads the row as another dtype (int rows ride
-    the f32 stack; values < 2^24 are exact)."""
-
-    def __init__(self, ref, idx, cast=None):
-        self.ref = ref
-        self.idx = idx
-        self.cast = cast
-
-    def __getitem__(self, _):
-        v = self.ref[self.idx]
-        return v if self.cast is None else v.astype(self.cast)
-
-    def __setitem__(self, _, v):
-        self.ref[self.idx] = (v if v.dtype == jnp.float32
-                              else v.astype(jnp.float32))
-
-
-class _BandRef:
-    """Contiguous row band of a stacked ref, posing as a [n, ...]
-    channel ref indexed by a Python int."""
-
-    def __init__(self, ref, base):
-        self.ref = ref
-        self.base = base
-
-    def __getitem__(self, c):
-        return self.ref[self.base + c]
-
-    def __setitem__(self, c, v):
-        self.ref[self.base + c] = v
+    return 128
 
 
 # ---------------------------------------------------------------------------
@@ -154,42 +111,22 @@ def shade_fwd(atbl, ftable, b0, b1, zw, idf, fx, fy, rofs, bx, by,
     HIF = ftbl3.shape[1]
     Rdummy = atbl.shape[1] - 1
 
-    # One stacked input stream / one stacked output stream per grid
-    # step (see _RowRef — DMA-issue count is the fwd's real cost too).
-    flats = [idf, idfx, idfd, zw, zx, zd, b0, b1, b0x, b0d, b1x, b1d,
-             fx, fy]
+    args = [_flatpad(a, rows_p) for a in
+            (idf, idfx, idfd, zw, zx, zd, b0, b1, b0x, b0d, b1x, b1d,
+             fx, fy)]
     if has_rofs:
-        flats.append(rofs.astype(jnp.float32))
-    KIN = len(flats)
-    ins_p = _flatpad(jnp.stack(flats), rows_p)
-    KOUT = 4 * A + 4  # out, c0, negx, negy channel groups + 4 AA rows
+        args.append(_flatpad(rofs, rows_p))
 
     def kernel(*refs):
-        atbl_ref, ftbl_ref, ins_ref, out_stack_ref, g_ref, t7_ref = refs
-        i0_ref = _RowRef(ins_ref, 0)
-        ix_ref = _RowRef(ins_ref, 1)
-        iy_ref = _RowRef(ins_ref, 2)
-        z0_ref = _RowRef(ins_ref, 3)
-        zx_ref = _RowRef(ins_ref, 4)
-        zy_ref = _RowRef(ins_ref, 5)
-        b0_ref = _RowRef(ins_ref, 6)
-        b1_ref = _RowRef(ins_ref, 7)
-        b0x_ref = _RowRef(ins_ref, 8)
-        b0y_ref = _RowRef(ins_ref, 9)
-        b1x_ref = _RowRef(ins_ref, 10)
-        b1y_ref = _RowRef(ins_ref, 11)
-        fx_ref = _RowRef(ins_ref, 12)
-        fy_ref = _RowRef(ins_ref, 13)
+        (atbl_ref, ftbl_ref, i0_ref, ix_ref, iy_ref, z0_ref, zx_ref,
+         zy_ref, b0_ref, b1_ref, b0x_ref, b0y_ref, b1x_ref, b1y_ref,
+         fx_ref, fy_ref) = refs[:16]
+        rest = refs[16:]
         if has_rofs:
-            ro_ref = _RowRef(ins_ref, 14, cast=jnp.int32)
-        out_ref = _BandRef(out_stack_ref, 0)
-        c0_ref = _BandRef(out_stack_ref, A)
-        negx_ref = _BandRef(out_stack_ref, 2 * A)
-        negy_ref = _BandRef(out_stack_ref, 3 * A)
-        al0_ref = _RowRef(out_stack_ref, 4 * A + 0)
-        ax0_ref = _RowRef(out_stack_ref, 4 * A + 1)
-        al1_ref = _RowRef(out_stack_ref, 4 * A + 2)
-        ax1_ref = _RowRef(out_stack_ref, 4 * A + 3)
+            ro_ref = rest[0]
+            rest = rest[1:]
+        (out_ref, c0_ref, negx_ref, negy_ref, al0_ref, ax0_ref, al1_ref,
+         ax1_ref, g_ref, t7_ref) = rest
 
         id0 = i0_ref[...]
         zz0 = z0_ref[...]
@@ -273,35 +210,40 @@ def shade_fwd(atbl, ftable, b0, b1, zw, idf, fx, fy, rofs, bx, by,
                                + 4.0 * is_t1.astype(jnp.float32))
 
     grid = (rows_p // BLKR,)
-    ins_spec = pl.BlockSpec((KIN, BLKR, LANE), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((KOUT, BLKR, LANE), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+    flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    chan_spec = pl.BlockSpec((A, BLKR, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
     atbl_spec = pl.BlockSpec((K, HI, LANE), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     ftbl_spec = pl.BlockSpec((7, HIF, LANE), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
 
-    stack = pl.pallas_call(
+    n_flat_in = 14 + (1 if has_rofs else 0)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((A, rows_p, LANE), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((rows_p, LANE), jnp.float32)] * 4)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[atbl_spec, ftbl_spec, ins_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((KOUT, rows_p, LANE), jnp.float32),
+        in_specs=[atbl_spec, ftbl_spec] + [flat_spec] * n_flat_in,
+        out_specs=[chan_spec] * 4 + [flat_spec] * 4,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((K, BLKR, LANE), jnp.float32),
                         pltpu.VMEM((7, BLKR, LANE), jnp.float32)],
         interpret=interpret,
-    )(atbl3, ftbl3, ins_p)
+    )(atbl3, ftbl3, *args)
+
+    out_k, c0_k, negx, negy, al0, ax0, al1, ax1 = outs
 
     def unflat(a):
         return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
 
-    flat = unflat(stack)  # [KOUT, N]
-    out = flat[:A]
-    out = out + _roll_next_last(flat[2 * A:3 * A], 1)
-    out = out + _roll_next_last(flat[3 * A:4 * A], W)
-    c0 = flat[A:2 * A]
-    res = tuple(flat[4 * A + k] for k in range(4))
+    out = unflat(out_k)
+    out = out + _roll_next_last(unflat(negx), 1)
+    out = out + _roll_next_last(unflat(negy), W)
+    c0 = unflat(c0_k)
+    res = tuple(unflat(a) for a in (al0, ax0, al1, ax1))
     return out, c0, res
 
 
@@ -354,67 +296,51 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
     HI = atbl3.shape[1]
     HIV = vtbl3.shape[1]
 
-    # One stacked input stream (single block DMA per grid step; see
-    # _RowRef). Row map: 0 idf, 1 idfx, 2 idfd, 3 b0, 4 b1, 5 fx,
-    # 6 fy, [7 rofs], then 6 AA rows, then 8 channel groups of A.
-    flats = [idf, idfx, idfd, b0, b1, fx, fy]
+    args = [_flatpad(a, rows_p) for a in (idf, idfx, idfd, b0, b1, fx, fy)]
     if has_rofs:
-        flats.append(rofs.astype(jnp.float32))
-    n_head = len(flats)
-    ins = jnp.concatenate(
-        [jnp.stack(flats),
-         # Residual padding must be inactive, not edge-replicated —
-         # but the stacked _flatpad replicates the last COLUMN of
-         # every row; zero the al rows' padding explicitly below.
-         jnp.stack([al0, ax0, al1, ax1, al0m, al1m]),
-         c0t, c0x, c0d, dyt, dyx, dyd, dym1, dymW], axis=0)
-    KIN = ins.shape[0]
-    ins_p = _flatpad(ins, rows_p)
-    npad = rows_p * LANE - N
-    if npad:
-        # Zero the padding of rows whose padded values must be
-        # INACTIVE rather than edge-replicated (alpha rows and every
-        # dy/c0 channel row — zero dy makes padded pixels inert).
-        pad_mask = jnp.arange(rows_p * LANE).reshape(rows_p, LANE) < N
-        keep = jnp.zeros((KIN,), bool).at[:n_head].set(True)
-        # ax rows replicate (consumed only where al != 0).
-        keep = keep.at[n_head + 1].set(True).at[n_head + 3].set(True)
-        ins_p = jnp.where(keep[:, None, None] | pad_mask[None], ins_p,
-                          0.0)
-
-    KOUT = (K + 9) + 9 + 9 + 2
+        args.append(_flatpad(rofs, rows_p))
+    # Residual padding must be inactive, not edge-replicated.
+    args += [_flatpad(al0, rows_p, fill=0.0), _flatpad(ax0, rows_p),
+             _flatpad(al1, rows_p, fill=0.0), _flatpad(ax1, rows_p),
+             _flatpad(al0m, rows_p, fill=0.0),
+             _flatpad(al1m, rows_p, fill=0.0)]
+    args += [_flatpad(a, rows_p, fill=0.0)
+             for a in (c0t, c0x, c0d, dyt, dyx, dyd, dym1, dymW)]
 
     def kernel(*refs):
-        atbl_ref, vtbl_ref, ins_ref, out_ref, g_ref, t9_ref = refs
-        i0_ref = _RowRef(ins_ref, 0)
-        ix_ref = _RowRef(ins_ref, 1)
-        iy_ref = _RowRef(ins_ref, 2)
-        b0_ref = _RowRef(ins_ref, 3)
-        b1_ref = _RowRef(ins_ref, 4)
-        fx_ref = _RowRef(ins_ref, 5)
-        fy_ref = _RowRef(ins_ref, 6)
+        i = 0
+        atbl_ref = refs[i]; i += 1
+        vtbl_ref = refs[i]; i += 1
+        i0_ref = refs[i]; i += 1
+        ix_ref = refs[i]; i += 1
+        iy_ref = refs[i]; i += 1
+        b0_ref = refs[i]; i += 1
+        b1_ref = refs[i]; i += 1
+        fx_ref = refs[i]; i += 1
+        fy_ref = refs[i]; i += 1
         if has_rofs:
-            ro_ref = _RowRef(ins_ref, 7, cast=jnp.int32)
-        h = n_head
-        al0_ref = _RowRef(ins_ref, h + 0)
-        ax0_ref = _RowRef(ins_ref, h + 1)
-        al1_ref = _RowRef(ins_ref, h + 2)
-        ax1_ref = _RowRef(ins_ref, h + 3)
-        al0m_ref = _RowRef(ins_ref, h + 4)
-        al1m_ref = _RowRef(ins_ref, h + 5)
-        c0_ref = _BandRef(ins_ref, h + 6)
-        c0x_ref = _BandRef(ins_ref, h + 6 + A)
-        c0y_ref = _BandRef(ins_ref, h + 6 + 2 * A)
-        dy0_ref = _BandRef(ins_ref, h + 6 + 3 * A)
-        dyx_ref = _BandRef(ins_ref, h + 6 + 4 * A)
-        dyy_ref = _BandRef(ins_ref, h + 6 + 5 * A)
-        dym1_ref = _BandRef(ins_ref, h + 6 + 6 * A)
-        dymW_ref = _BandRef(ins_ref, h + 6 + 7 * A)
-        gvr_ref = _BandRef(out_ref, 0)
-        gv0_ref = _BandRef(out_ref, K + 9)
-        gv1_ref = _BandRef(out_ref, K + 18)
-        rid0_ref = _RowRef(out_ref, K + 27)
-        rid1_ref = _RowRef(out_ref, K + 28)
+            ro_ref = refs[i]; i += 1
+        al0_ref = refs[i]; i += 1
+        ax0_ref = refs[i]; i += 1
+        al1_ref = refs[i]; i += 1
+        ax1_ref = refs[i]; i += 1
+        al0m_ref = refs[i]; i += 1
+        al1m_ref = refs[i]; i += 1
+        c0_ref = refs[i]; i += 1
+        c0x_ref = refs[i]; i += 1
+        c0y_ref = refs[i]; i += 1
+        dy0_ref = refs[i]; i += 1
+        dyx_ref = refs[i]; i += 1
+        dyy_ref = refs[i]; i += 1
+        dym1_ref = refs[i]; i += 1
+        dymW_ref = refs[i]; i += 1
+        gvr_ref = refs[i]; i += 1
+        gv0_ref = refs[i]; i += 1
+        gv1_ref = refs[i]; i += 1
+        rid0_ref = refs[i]; i += 1
+        rid1_ref = refs[i]; i += 1
+        g_ref = refs[i]; i += 1
+        t9_ref = refs[i]
 
         id0 = i0_ref[...]
         fxv = fx_ref[...]
@@ -567,35 +493,42 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
                 gvr_ref[K + k] = jnp.where(valid & jnp.isfinite(v), v, 0.0)
 
     grid = (rows_p // BLKR,)
-    ins_spec = pl.BlockSpec((KIN, BLKR, LANE), lambda i: (0, i, 0),
+    flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    chan_spec = pl.BlockSpec((A, BLKR, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    gvr_spec = pl.BlockSpec((K + 9, BLKR, LANE), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((KOUT, BLKR, LANE), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
+    g9_spec = pl.BlockSpec((9, BLKR, LANE), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
     atbl_spec = pl.BlockSpec((K, HI, LANE), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     vtbl_spec = pl.BlockSpec((9, HIV, LANE), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    n_flat = 13 + (1 if has_rofs else 0)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((K + 9, rows_p, LANE), jnp.float32)]
+        + [jax.ShapeDtypeStruct((9, rows_p, LANE), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((rows_p, LANE), jnp.int32)] * 2)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[atbl_spec, vtbl_spec, ins_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((KOUT, rows_p, LANE), jnp.float32),
+        in_specs=([atbl_spec, vtbl_spec] + [flat_spec] * n_flat
+                  + [chan_spec] * 8),
+        out_specs=[gvr_spec] + [g9_spec] * 2
+        + [flat_spec] * 2,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((K, BLKR, LANE), jnp.float32),
                         pltpu.VMEM((9, BLKR, LANE), jnp.float32)],
         interpret=interpret,
-    )(atbl3, vtbl3, ins_p)
+    )(atbl3, vtbl3, *args)
+
+    gvr, gv0, gv1, rid0, rid1 = outs
 
     def unflat(a):
         return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
 
-    flat = unflat(out)  # [KOUT, N]
-    gvr = flat[:K + 9]
-    gv0 = flat[K + 9:K + 18]
-    gv1 = flat[K + 18:K + 27]
-    rid0 = flat[K + 27].astype(jnp.int32)
-    rid1 = flat[K + 28].astype(jnp.int32)
-    rid2 = jnp.concatenate([rid0, rid1])
-    gval2 = jnp.concatenate([gv0, gv1], axis=1)
-    return gvr, rid2, gval2
+    rid2 = jnp.concatenate([unflat(rid0), unflat(rid1)])
+    gval2 = jnp.concatenate([unflat(gv0), unflat(gv1)], axis=1)
+    return unflat(gvr), rid2, gval2
