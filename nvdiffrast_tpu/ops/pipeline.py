@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import coord
-from .scatter import scatter_add_by_id
+
 from .topology import build_opposite_table
 
 
@@ -118,7 +118,7 @@ def _pipeline_bwd_core(pos, attr, tri, atri, op_table, resolution, impl,
     dy_cols = list(dy.reshape(N, A).T)
     c0_cols = [c0[a] for a in range(A)]
 
-    gvr, rid2, gval2 = pp.pipeline_bwd(
+    gs, dd2, rid2 = pp.pipeline_bwd(
         atbl, vtbl, b0f, b1f, idff, fx, fy, rofs_k, bx, by,
         dy_cols, c0_cols, res, A, T, W, H, 2.0 / W, 2.0 / H,
         interpret=interpret)
@@ -129,8 +129,12 @@ def _pipeline_bwd_core(pos, attr, tri, atri, op_table, resolution, impl,
     valid = (tid0 >= 0) & (tid0 < T)
     rid = jnp.where(valid, tid0, 0) + rofs
 
-    # One MXU reduction for attr + rasterize-pos gradients.
-    gt = scatter_add_by_id(rid, gvr, R)  # [R, 3A + 9]
+    # One fused MXU reduction expands the slim streams (bb outer
+    # product, AA pair_pos_grad replay) and reduces all gradients.
+    (_al0, ax0, _al1, ax1) = res
+    gt, gaa = pp.pipeline_grad_scatter(
+        rid, gs, dd2, rid2, b0f, b1f, ax0, ax1, vtbl[:, :R], A, R, W, H,
+        interpret=interpret)
     ga = gt[:, :K].reshape(B, T, 3, A)
     g9 = gt[:, K:].reshape(B, T, 3, 3)
 
@@ -151,7 +155,7 @@ def _pipeline_bwd_core(pos, attr, tri, atri, op_table, resolution, impl,
     g_pos = jnp.zeros((B, V, 4), jnp.float32).at[:, tri].add(gv, mode="drop")
 
     # AA position gradients (MXU reduction over both axes' streams).
-    gt2 = scatter_add_by_id(rid2, gval2, R).reshape(B, T, 3, 3)
+    gt2 = gaa.reshape(B, T, 3, 3)
     gv2 = jnp.zeros((B, T, 3, 4), jnp.float32)
     gv2 = gv2.at[..., 0].set(gt2[..., 0])
     gv2 = gv2.at[..., 1].set(gt2[..., 1])

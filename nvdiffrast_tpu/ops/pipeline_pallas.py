@@ -268,11 +268,16 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
       residuals: (al0, ax0, al1, ax1) AA forward residuals.
 
     Returns:
-      (gvr [3A+9, N]: attr-grad columns then vertex-pos columns keyed
-       by the pixel's own rid;
-       rid2 [2N] int32, gval2 [9, 2N]: AA position-gradient stream).
+      (gs [A+9, N]: final color-gradient rows (post-AA, masked by
+       validity) then the rasterize vertex-pos columns, keyed by the
+       pixel's own rid;
+       dd2 [2, N]: per-axis masked AA color-dot weights;
+       rid2 [2, N] int32: per-axis pair triangle rows).
+      The bb-outer-product attr expansion and the AA pair_pos_grad
+      replay happen inside pipeline_grad_scatter — this kernel emits
+      17 rows instead of 41.
     """
-    from .antialias import decode_aux, pair_pos_grad
+    from .antialias import decode_aux
 
     (al0, ax0, al1, ax1) = residuals
     N = idf.shape[0]
@@ -334,9 +339,8 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
         dyy_ref = refs[i]; i += 1
         dym1_ref = refs[i]; i += 1
         dymW_ref = refs[i]; i += 1
-        gvr_ref = refs[i]; i += 1
-        gv0_ref = refs[i]; i += 1
-        gv1_ref = refs[i]; i += 1
+        gs_ref = refs[i]; i += 1
+        dd_ref = refs[i]; i += 1
         rid0_ref = refs[i]; i += 1
         rid1_ref = refs[i]; i += 1
         g_ref = refs[i]; i += 1
@@ -350,56 +354,50 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
         dy0 = [dy0_ref[c] for c in range(A)]
 
         # --- AA backward (antialias.cu:387-556) -------------------------
+        # The pair replay's analytic position gradients moved into the
+        # fused gradient scatter (pipeline_grad_scatter): this kernel
+        # only emits the masked color-dot weight dd per axis — 2 rows
+        # instead of 2x(9 + rid), and no vtbl gather here.
         gc = [dy0[c] for c in range(A)]  # running g_color per channel
         zero = jnp.zeros(id0.shape, jnp.float32)
-        for d, (i1_ref, c1_ref, dy1_ref, gv_ref, rid_ref, al_ref,
+        for d, (i1_ref, c1_ref, dy1_ref, rid_ref, al_ref,
                 ax_ref) in enumerate(
-                ((ix_ref, c0x_ref, dyx_ref, gv0_ref, rid0_ref, al0_ref,
+                ((ix_ref, c0x_ref, dyx_ref, rid0_ref, al0_ref,
                   ax0_ref),
-                 (iy_ref, c0y_ref, dyy_ref, gv1_ref, rid1_ref, al1_ref,
+                 (iy_ref, c0y_ref, dyy_ref, rid1_ref, al1_ref,
                   ax1_ref))):
             al = al_ref[...]
             apos = al > 0
             rid_ref[...] = ro + jnp.zeros(id0.shape, jnp.int32)
-            for k in range(9):
-                gv_ref[k] = zero
+            dd_ref[d] = zero
             if "aa" in _ABLATE:
                 continue
             # Color-gradient update is cheap elementwise and exact (an
-            # identity where al == 0); only the pair replay (gathers +
-            # analytic position grads) is guarded on block activity.
+            # identity where al == 0); only the pair bookkeeping is
+            # guarded on block activity.
             pdy = [jnp.where(apos, dy0[c], dy1_ref[c]) for c in range(A)]
             for c in range(A):
                 gc[c] = gc[c] - al * pdy[c]
 
             # Silhouette pairs are sparse: blocks whose recorded alpha
-            # is all-zero contribute exact zeros — skip the replay.
+            # is all-zero contribute exact zeros — skip the bookkeeping.
             @pl.when(jnp.any(al != 0.0))
             def _replay(d=d, i1_ref=i1_ref, c1_ref=c1_ref, pdy=pdy,
-                        gv_ref=gv_ref, rid_ref=rid_ref, al=al,
-                        ax_ref=ax_ref):
-                di, is_t1 = decode_aux(ax_ref[...])
+                        rid_ref=rid_ref, al=al, ax_ref=ax_ref):
+                _di, is_t1 = decode_aux(ax_ref[...])
                 active = al != 0.0
                 idfs = jnp.where(is_t1, i1_ref[...], id0)
                 tsel = idfs.astype(jnp.int32) - 1
                 ok = active & (tsel >= 0) & (tsel < T)
                 tid = jnp.where(ok, tsel, 0)
-                rid = tid + ro
-                rid_ref[...] = rid
-
-                _masked_gather(vtbl_ref, rid, ok,
-                               9, [_Sub(t9_ref, k) for k in range(9)])
-                t9v = [t9_ref[k] for k in range(9)]
+                rid_ref[...] = tid + ro
 
                 dd = jnp.zeros_like(al)
                 for c in range(A):
                     dd = dd + pdy[c] * (c1_ref[c] - c0[c])
                 dd = jnp.where(active, dd, 0.0)
                 keep = ok & (dd != 0.0) & (jnp.abs(al) < 0.5)
-                cols = pair_pos_grad(t9v, dd, keep, di, is_t1, fxv, fyv,
-                                     d, W, Hf)
-                for k in range(9):
-                    gv_ref[k] = cols[k]
+                dd_ref[d] = jnp.where(keep, dd, 0.0)
 
         # Cross-pixel roll contributions reconstructed locally from
         # backward-shifted alpha/dy: v[p - s] depends only on
@@ -414,11 +412,15 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
                 gc[c] = gc[c] + vm0 + vm1
 
         # --- interpolate backward (interpolate.cu:131-274) --------------
+        # Only the A final color-gradient rows are emitted (masked by
+        # validity); the fused gradient scatter expands them with the
+        # barycentric outer product (bb0, bb1, 1-b0-b1 come from the
+        # rasterizer's own buffers there).
         tid0 = id0.astype(jnp.int32) - 1
         valid = (tid0 >= 0) & (tid0 < T)
         rid0v = jnp.where(valid, tid0, 0) + ro
-        for k in range(K + 9):
-            gvr_ref[k] = zero
+        for k in range(A + 9):
+            gs_ref[k] = zero
 
         # Background-only blocks produce exact zero gradient rows.
         @pl.when(jnp.any(valid))
@@ -428,18 +430,11 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
             if "interp" not in _ABLATE:
                 _masked_gather(atbl_ref, rid0v, valid, K,
                                [_Sub(g_ref, k) for k in range(K)])
-                bb0 = jnp.where(valid, b0_ref[...], 0.0)
-                bb1 = jnp.where(valid, b1_ref[...], 0.0)
-                bb2 = jnp.where(valid, 1.0 - b0_ref[...] - b1_ref[...],
-                                0.0)
-
                 for a in range(A):
                     gb0 = gb0 + gc[a] * (g_ref[a] - g_ref[2 * A + a])
                     gb1 = gb1 + gc[a] * (g_ref[A + a] - g_ref[2 * A + a])
                 for a in range(A):
-                    gvr_ref[a] = jnp.where(valid, bb0 * gc[a], 0.0)
-                    gvr_ref[A + a] = jnp.where(valid, bb1 * gc[a], 0.0)
-                    gvr_ref[2 * A + a] = jnp.where(valid, bb2 * gc[a], 0.0)
+                    gs_ref[a] = jnp.where(valid, gc[a], 0.0)
 
             if "raster" in _ABLATE:
                 return
@@ -490,16 +485,16 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
             cols = [gp0x, gp0y, gp0w, gp1x, gp1y, gp1w, gp2x, gp2y, gp2w]
             for k in range(9):
                 v = cols[k]
-                gvr_ref[K + k] = jnp.where(valid & jnp.isfinite(v), v, 0.0)
+                gs_ref[A + k] = jnp.where(valid & jnp.isfinite(v), v, 0.0)
 
     grid = (rows_p // BLKR,)
     flat_spec = pl.BlockSpec((BLKR, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     chan_spec = pl.BlockSpec((A, BLKR, LANE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
-    gvr_spec = pl.BlockSpec((K + 9, BLKR, LANE), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    g9_spec = pl.BlockSpec((9, BLKR, LANE), lambda i: (0, i, 0),
+    gs_spec = pl.BlockSpec((A + 9, BLKR, LANE), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    dd_spec = pl.BlockSpec((2, BLKR, LANE), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     atbl_spec = pl.BlockSpec((K, HI, LANE), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -508,27 +503,217 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
 
     n_flat = 13 + (1 if has_rofs else 0)
     out_shapes = (
-        [jax.ShapeDtypeStruct((K + 9, rows_p, LANE), jnp.float32)]
-        + [jax.ShapeDtypeStruct((9, rows_p, LANE), jnp.float32)] * 2
+        [jax.ShapeDtypeStruct((A + 9, rows_p, LANE), jnp.float32),
+         jax.ShapeDtypeStruct((2, rows_p, LANE), jnp.float32)]
         + [jax.ShapeDtypeStruct((rows_p, LANE), jnp.int32)] * 2)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=([atbl_spec, vtbl_spec] + [flat_spec] * n_flat
                   + [chan_spec] * 8),
-        out_specs=[gvr_spec] + [g9_spec] * 2
-        + [flat_spec] * 2,
+        out_specs=[gs_spec, dd_spec] + [flat_spec] * 2,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((K, BLKR, LANE), jnp.float32),
                         pltpu.VMEM((9, BLKR, LANE), jnp.float32)],
         interpret=interpret,
     )(atbl3, vtbl3, *args)
 
-    gvr, gv0, gv1, rid0, rid1 = outs
+    gs, dd2, rid0, rid1 = outs
 
     def unflat(a):
         return a.reshape(a.shape[:-2] + (rows_p * LANE,))[..., :N]
 
-    rid2 = jnp.concatenate([unflat(rid0), unflat(rid1)])
-    gval2 = jnp.concatenate([unflat(gv0), unflat(gv1)], axis=1)
-    return unflat(gvr), rid2, gval2
+    return (unflat(gs), unflat(dd2),
+            jnp.stack([unflat(rid0), unflat(rid1)]))
+
+
+
+# ---------------------------------------------------------------------------
+# Fused gradient scatter: expand + reduce in one MXU pass.
+# ---------------------------------------------------------------------------
+
+def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
+                          A, R, W, Hf, interpret=False):
+    """One windowed one-hot MXU scatter for ALL pipeline gradients.
+
+    Replaces two generic scatter_add_by_id calls over 41 emitted rows
+    with one pass over the 17 slim rows pipeline_bwd now emits: the
+    barycentric outer product (attr rows) is expanded in-kernel from
+    the rasterizer's own b0/b1 buffers, and the AA analytic position
+    gradients are replayed in-kernel per one-hot window — the t9
+    vertex gather rides the SAME one-hot matmul the scatter already
+    builds (rows outside the window read zeros; pair_pos_grad's
+    isfinite filter drops the resulting poles, and their one-hot
+    columns are zero anyway). ~680 MB less HBM stream traffic per
+    step at 2048^2.
+
+    Args:
+      rid0v: [N] int32 own-pixel table rows (invalid pixels -> any row
+        in range; their gs rows are zero).
+      gs: [A+9, N] pipeline_bwd's slim stream (gc rows + raster pos).
+      dd2: [2, N] masked AA color-dot weights; rid2 [2, N] int32.
+      b0, b1: [N] rasterizer barycentric buffers (bb2 = 1 - b0 - b1).
+      ax0, ax1: [N] AA aux residuals (di + 4*is_t1).
+      vtbl: [9, R] clip-space vertex table (w-rows strictly nonzero
+        for real triangles).
+      A: channels; R: table rows; W/Hf: image dims (fx/fy recompute,
+        antialias._pixel_grid convention).
+
+    Returns:
+      (gt [R, 3A+9] attr+raster rows, gaa [R, 9] AA position rows —
+       kept separate for pos_gradient_boost).
+    """
+    from .antialias import decode_aux, pair_pos_grad
+
+    K = 3 * A
+    N = rid0v.shape[0]
+    P = 8192
+    n_chunks = _cdiv(N, P)
+    Np = n_chunks * P
+    FK = K + 9 + 9  # attr + raster + AA rows of the accumulator
+
+    def padN(x):
+        if Np != N:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Np - N)])
+        return x
+
+    ints = padN(jnp.stack([rid0v, rid2[0], rid2[1]]))      # [3, Np]
+    gsp = padN(gs)                                         # [A+9, Np]
+    dds = padN(dd2)                                        # [2, Np]
+    flts = padN(jnp.stack([b0, b1, ax0, ax1]))             # [4, Np]
+
+    Rp = max(_cdiv(R, LANE) * LANE, LANE)
+    vt_p = jnp.pad(vtbl, ((0, 0), (0, Rp - vtbl.shape[1])))  # [9, Rp]
+    n_win = Rp // LANE
+
+    fx_off = float(0.5 - 0.5 * W)
+    fy_off = float(0.5 - 0.5 * Hf)
+    dn = (((1,), (1,)), ((), ()))
+
+    def kernel(vt_ref, ints_ref, gs_ref, dd_ref, fl_ref, out_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[...] = jnp.zeros((FK, Rp), jnp.float32)
+
+        def windows(q, live):
+            big = jnp.int32(1 << 30)
+            w_lo = jnp.min(jnp.where(live, q, big)) // LANE
+            w_hi = jnp.max(jnp.where(live, q, -1)) // LANE
+            return jnp.where(live, q, Rp + LANE), w_lo, w_hi
+
+        def hilo_update(ve, oht, row0, nrows, w):
+            ve_hi = ve.astype(jnp.bfloat16)
+            ve_lo = (ve - ve_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            stack = jnp.concatenate([ve_hi, ve_lo], axis=0)
+            both = jax.lax.dot_general(
+                stack, oht, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            upd = both[:nrows] + both[nrows:]
+            dsw = pl.ds(pl.multiple_of(w * LANE, LANE), LANE)
+            out_ref[row0:row0 + nrows, dsw] += upd
+
+        # --- own-pixel pass: attr outer product + raster rows -------
+        qo = ints_ref[0]  # [1, P]
+        live_o = jnp.zeros(qo.shape, bool)
+        for k in range(A + 9):
+            live_o = live_o | (gs_ref[k] != 0.0)
+
+        @pl.when(jnp.any(live_o))
+        def _own():
+            bb0 = fl_ref[0]
+            bb1 = fl_ref[1]
+            bb2 = 1.0 - bb0 - bb1
+            gcv = [gs_ref[a] for a in range(A)]
+            rows = ([bb0 * g for g in gcv] + [bb1 * g for g in gcv]
+                    + [bb2 * g for g in gcv]
+                    + [gs_ref[A + k] for k in range(9)])
+            ve = jnp.concatenate([r for r in rows], axis=0)  # [K+9, P]
+            ql, w_lo, w_hi = windows(qo, live_o)
+
+            def wbody(w, carry):
+                @pl.when(jnp.any(ql // LANE == w))
+                def _do():
+                    rr = jax.lax.broadcasted_iota(jnp.int32,
+                                                  (LANE, P), 0)
+                    oht = (rr == (ql - w * LANE)).astype(jnp.bfloat16)
+                    hilo_update(ve, oht, 0, K + 9, w)
+                return carry
+
+            jax.lax.fori_loop(w_lo, w_hi + 1, wbody, 0)
+
+        # --- AA axis passes: per-window pair_pos_grad replay ---------
+        # fx/fy from the flat pixel index (antialias._pixel_grid).
+        pix = (c * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1))
+        colp = pix % W
+        rowp = (pix // W) % Hf
+        fxv = colp.astype(jnp.float32) + fx_off
+        fyv = rowp.astype(jnp.float32) + fy_off
+
+        for d in range(2):
+            ddv = dd_ref[d]
+            act = ddv != 0.0
+
+            @pl.when(jnp.any(act))
+            def _axis(d=d, ddv=ddv, act=act):
+                qd = ints_ref[1 + d]
+                di, is_t1 = decode_aux(fl_ref[2 + d])
+                ql, w_lo, w_hi = windows(qd, act)
+
+                def wbody(w, carry):
+                    @pl.when(jnp.any(ql // LANE == w))
+                    def _do():
+                        rr = jax.lax.broadcasted_iota(jnp.int32,
+                                                      (LANE, P), 0)
+                        sel = rr == (ql - w * LANE)
+                        oht = sel.astype(jnp.bfloat16)
+                        # t9 gather through the same one-hot (f32
+                        # accuracy: HIGHEST = bf16x6 passes on a tiny
+                        # [9, 128] x [128, P] product).
+                        dsw = pl.ds(pl.multiple_of(w * LANE, LANE),
+                                    LANE)
+                        vt_win = vt_ref[:, dsw]  # [9, LANE]
+                        t9g = jax.lax.dot_general(
+                            vt_win, sel.astype(jnp.float32),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        t9v = [t9g[k:k + 1] for k in range(9)]
+                        cols = pair_pos_grad(t9v, ddv, act, di, is_t1,
+                                             fxv, fyv, d, W, Hf)
+                        ve = jnp.concatenate(cols, axis=0)  # [9, P]
+                        hilo_update(ve, oht, K + 9, 9, w)
+                    return carry
+
+                jax.lax.fori_loop(w_lo, w_hi + 1, wbody, 0)
+
+    grid = (n_chunks,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((9, Rp), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, P), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A + 9, 1, P), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, P), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, P), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FK, Rp), lambda c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((FK, Rp), jnp.float32),
+        interpret=interpret,
+    )(vt_p,
+      ints.reshape(3, n_chunks, P),
+      gsp.reshape(A + 9, n_chunks, P),
+      dds.reshape(2, n_chunks, P),
+      flts.reshape(4, n_chunks, P))
+
+    gt = out[:K + 9, :R].T
+    gaa = out[K + 9:, :R].T
+    return gt, gaa
