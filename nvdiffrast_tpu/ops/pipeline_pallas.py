@@ -615,20 +615,20 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
             out_ref[row0:row0 + nrows, dsw] += upd
 
         # --- own-pixel pass: attr outer product + raster rows -------
-        qo = ints_ref[0]  # [1, P]
+        qo = ints_ref[0:1]  # [1, P]
         live_o = jnp.zeros(qo.shape, bool)
         for k in range(A + 9):
-            live_o = live_o | (gs_ref[k] != 0.0)
+            live_o = live_o | (gs_ref[k:k + 1] != 0.0)
 
         @pl.when(jnp.any(live_o))
         def _own():
-            bb0 = fl_ref[0]
-            bb1 = fl_ref[1]
+            bb0 = fl_ref[0:1]
+            bb1 = fl_ref[1:2]
             bb2 = 1.0 - bb0 - bb1
-            gcv = [gs_ref[a] for a in range(A)]
+            gcv = [gs_ref[a:a + 1] for a in range(A)]
             rows = ([bb0 * g for g in gcv] + [bb1 * g for g in gcv]
                     + [bb2 * g for g in gcv]
-                    + [gs_ref[A + k] for k in range(9)])
+                    + [gs_ref[A + k:A + k + 1] for k in range(9)])
             ve = jnp.concatenate([r for r in rows], axis=0)  # [K+9, P]
             ql, w_lo, w_hi = windows(qo, live_o)
 
@@ -652,13 +652,13 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
         fyv = rowp.astype(jnp.float32) + fy_off
 
         for d in range(2):
-            ddv = dd_ref[d]
+            ddv = dd_ref[d:d + 1]
             act = ddv != 0.0
 
             @pl.when(jnp.any(act))
             def _axis(d=d, ddv=ddv, act=act):
-                qd = ints_ref[1 + d]
-                di, is_t1 = decode_aux(fl_ref[2 + d])
+                qd = ints_ref[1 + d:2 + d]
+                di, is_t1 = decode_aux(fl_ref[2 + d:3 + d])
                 ql, w_lo, w_hi = windows(qd, act)
 
                 def wbody(w, carry):
@@ -695,24 +695,20 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
         in_specs=[
             pl.BlockSpec((9, Rp), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 1, P), lambda c: (0, c, 0),
+            pl.BlockSpec((3, P), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((A + 9, 1, P), lambda c: (0, c, 0),
+            pl.BlockSpec((A + 9, P), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, P), lambda c: (0, c, 0),
+            pl.BlockSpec((2, P), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, P), lambda c: (0, c, 0),
+            pl.BlockSpec((4, P), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((FK, Rp), lambda c: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((FK, Rp), jnp.float32),
         interpret=interpret,
-    )(vt_p,
-      ints.reshape(3, n_chunks, P),
-      gsp.reshape(A + 9, n_chunks, P),
-      dds.reshape(2, n_chunks, P),
-      flts.reshape(4, n_chunks, P))
+    )(vt_p, ints, gsp, dds, flts)
 
     gt = out[:K + 9, :R].T
     gaa = out[K + 9:, :R].T

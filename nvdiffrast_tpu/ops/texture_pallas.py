@@ -31,11 +31,16 @@ Reference: csrc/common/texture_kernel.cu:368-585, 709-838.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# A/B knob (benchmarks): address the gradient scatter with (8, 128)-
+# tiled apron ids (footprint-area id spans) vs row-major apron ids.
+_TILED_IDS = os.environ.get("NVDR_TILED_IDS", "1") != "0"
 
 LANE = 128
 TILE_H = 64  # image-tile rows per kernel block (x128 columns)
@@ -1094,25 +1099,37 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
     wep_a = jnp.asarray([e[4] for e in emeta_t], jnp.int32)
     ids_parts = []
     vals_parts = []
+    eoffr_a = jnp.asarray([e[0] for e in emeta], jnp.int32)
     for lsel, lw in slots:
         hl = jnp.take(hl_a, lsel)
         wl = jnp.take(wl_a, lsel)
-        hep = jnp.take(hep_a, lsel)
-        wep = jnp.take(wep_a, lsel)
-        eoff_t = jnp.take(eoff_a, lsel)
         ju, jv, w4s = lattice_setup(ut, vt, hl, wl, boundary_mode)
         dlw = dyt * lw[None, :]  # [C, Np]
+        if _TILED_IDS:
+            hep = jnp.take(hep_a, lsel)
+            wep = jnp.take(wep_a, lsel)
+            eoff_t = jnp.take(eoff_a, lsel)
+        else:
+            ws = wl + 2
+            eid0 = (jnp.take(eoffr_a, lsel) + tzt * ((hl + 2) * ws)
+                    + (jv + 1) * ws + (ju + 1))
         for dv in (0, 1):  # cell row dv: corners (0, dv), (1, dv)
-            ids_parts.append(tiled_apron_id(eoff_t, hep, wep, tzt,
-                                            jv + 1 + dv, ju + 1))
+            if _TILED_IDS:
+                ids_parts.append(tiled_apron_id(eoff_t, hep, wep, tzt,
+                                                jv + 1 + dv, ju + 1))
+            else:
+                ids_parts.append(eid0 + dv * ws)
             vals_parts.append(jnp.concatenate(
                 [dlw * w4s[2 * dv][None], dlw * w4s[2 * dv + 1][None]],
                 axis=0))  # [2C, Np], du-major
     g_ext_t = scatter_add_by_id(
         jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
-        NTe_t, coherent=True,
-        p_chunk=_SCAT_P_CHUNK).T  # [2C, NTe_t] (tile-ordered -> sorted-ish)
-    g_ext = untile_ext_grad(g_ext_t, emeta_t, L, B_tex)
+        NTe_t if _TILED_IDS else NTe, coherent=True,
+        p_chunk=_SCAT_P_CHUNK).T  # [2C, rows] (tile-ordered -> sorted-ish)
+    if _TILED_IDS:
+        g_ext = untile_ext_grad(g_ext_t, emeta_t, L, B_tex)
+    else:
+        g_ext = g_ext_t
     g_flat = fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C)
 
     return (g_flat, gu, gv, gfl, None)
