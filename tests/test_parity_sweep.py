@@ -199,13 +199,14 @@ def test_csr_sliver_exact_ids(seed):
 # [x0,y0,z0,w0, x1,y1,z1,w1, x2,y2,z2,w2] clip coords, verbatim
 # (repr round-trips float32 exactly).
 #
-# History: the 32 rows were found against the round-4 plain-f32
+# History: the first 32 rows were found against the round-4 plain-f32
 # coefficient construction (32 escapees / 8M candidates). The round-5
 # correctly-rounded _dop construction shrinks polytope drift to the
-# 0.5-ulp + eval-rounding scale: re-searching 56M candidates under it
-# found only 4 escapees, one of which (row 6) is in this list. The
-# legacy rows are kept as sliver parity stress (most no longer cover
-# any pixel at all — itself evidence of the accuracy win).
+# 0.5-ulp + eval-rounding scale: re-searching 40M candidates under it
+# found only 2 escapees — row 6 (shared with the old set) and the
+# final row (new). The legacy rows are kept as sliver parity stress
+# (most no longer cover any pixel at all — itself evidence of the
+# accuracy win).
 _ESCAPEE_VERTS = [
     [1.1497044563293457, 1.1547437906265259, -0.5420172214508057, 2.3586673736572266, 1.032828688621521, 1.3109936714172363, -0.5420172214508057, 2.3586673736572266, 1.0793559551239014, 1.2487906217575073, -0.5420172214508057, 2.3586673736572266],
     [0.735187828540802, 1.46221923828125, 0.11707647144794464, 2.193502426147461, 0.8007091283798218, 1.5943899154663086, 0.11707647144794464, 2.193502426147461, 0.7753080129623413, 1.5431513786315918, 0.11707647144794464, 2.193502426147461],
@@ -239,6 +240,7 @@ _ESCAPEE_VERTS = [
     [1.7105032205581665, -1.6630570888519287, -0.09948603063821793, 2.561558485031128, 1.77471923828125, -1.366410255432129, -0.09948603063821793, 2.561558485031128, 1.739441156387329, -1.5293715000152588, -0.09948603063821793, 2.561558485031128],
     [-0.41994547843933105, 0.46749597787857056, -0.2807263135910034, 0.5885091423988342, -0.4685002863407135, 0.5110995173454285, -0.2807263135910034, 0.5885091423988342, -0.4326794445514679, 0.47893109917640686, -0.2807263135910034, 0.5885091423988342],
     [-0.6452283263206482, 0.21741968393325806, 0.5492311120033264, 1.2254729270935059, -0.6090529561042786, 0.2896687090396881, 0.5492311120033264, 1.2254729270935059, -0.6346070170402527, 0.23863281309604645, 0.5492311120033264, 1.2254729270935059],
+    [1.9500236511230469, -1.8362715244293213, 0.5271088480949402, 2.422553062438965, 2.1137914657592773, -1.6896483898162842, 0.5271088480949402, 2.422553062438965, 2.045605421066284, -1.7506954669952393, 0.5271088480949402, 2.422553062438965],
 ]
 
 
