@@ -533,7 +533,7 @@ def pipeline_bwd(atbl, vtbl, b0, b1, idf, fx, fy, rofs, bx, by,
 # ---------------------------------------------------------------------------
 
 def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
-                          A, R, W, Hf, interpret=False):
+                          A, R, W, Hf, da4=None, interpret=False):
     """One windowed one-hot MXU scatter for ALL pipeline gradients.
 
     Replaces two generic scatter_add_by_id calls over 41 emitted rows
@@ -558,6 +558,11 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
         for real triangles).
       A: channels; R: table rows; W/Hf: image dims (fx/fy recompute,
         antialias._pixel_grid convention).
+      da4: optional [4, N] diff-attr terms (c0_u, c0_v, c1_u, c1_v)
+        from the textured pipeline's interpolate(diff_attrs) backward
+        (requires A == 2): attr row j of vertex 0/1/2 becomes
+        bb0*g_j + c0_j / bb1*g_j + c1_j / bb2*g_j - c0_j - c1_j
+        (interpolate.cu:131-274's Da terms).
 
     Returns:
       (gt [R, 3A+9] attr+raster rows, gaa [R, 9] AA position rows —
@@ -577,10 +582,17 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Np - N)])
         return x
 
+    has_da = da4 is not None
+    if has_da:
+        assert A == 2, "da4 expansion is defined for uv attrs (A == 2)"
     ints = padN(jnp.stack([rid0v, rid2[0], rid2[1]]))      # [3, Np]
     gsp = padN(gs)                                         # [A+9, Np]
     dds = padN(dd2)                                        # [2, Np]
-    flts = padN(jnp.stack([b0, b1, ax0, ax1]))             # [4, Np]
+    fl_rows = [b0, b1, ax0, ax1]
+    if has_da:
+        fl_rows += [da4[0], da4[1], da4[2], da4[3]]
+    NF = len(fl_rows)
+    flts = padN(jnp.stack(fl_rows))                        # [NF, Np]
 
     Rp = max(_cdiv(R, LANE) * LANE, LANE)
     vt_p = jnp.pad(vtbl, ((0, 0), (0, Rp - vtbl.shape[1])))  # [9, Rp]
@@ -619,6 +631,9 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
         live_o = jnp.zeros(qo.shape, bool)
         for k in range(A + 9):
             live_o = live_o | (gs_ref[k:k + 1] != 0.0)
+        if has_da:
+            for k in range(4):
+                live_o = live_o | (fl_ref[4 + k:5 + k] != 0.0)
 
         @pl.when(jnp.any(live_o))
         def _own():
@@ -626,9 +641,17 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
             bb1 = fl_ref[1:2]
             bb2 = 1.0 - bb0 - bb1
             gcv = [gs_ref[a:a + 1] for a in range(A)]
-            rows = ([bb0 * g for g in gcv] + [bb1 * g for g in gcv]
-                    + [bb2 * g for g in gcv]
-                    + [gs_ref[A + k:A + k + 1] for k in range(9)])
+            if has_da:
+                cc = [fl_ref[4 + k:5 + k] for k in range(4)]
+                rows = ([bb0 * gcv[j] + cc[j] for j in range(2)]
+                        + [bb1 * gcv[j] + cc[2 + j] for j in range(2)]
+                        + [bb2 * gcv[j] - cc[j] - cc[2 + j]
+                           for j in range(2)]
+                        + [gs_ref[A + k:A + k + 1] for k in range(9)])
+            else:
+                rows = ([bb0 * g for g in gcv] + [bb1 * g for g in gcv]
+                        + [bb2 * g for g in gcv]
+                        + [gs_ref[A + k:A + k + 1] for k in range(9)])
             ve = jnp.concatenate([r for r in rows], axis=0)  # [K+9, P]
             ql, w_lo, w_hi = windows(qo, live_o)
 
@@ -701,7 +724,7 @@ def pipeline_grad_scatter(rid0v, gs, dd2, rid2, b0, b1, ax0, ax1, vtbl,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, P), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, P), lambda c: (0, c),
+            pl.BlockSpec((NF, P), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((FK, Rp), lambda c: (0, 0),

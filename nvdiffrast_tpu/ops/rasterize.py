@@ -609,28 +609,19 @@ def _rasterize_bwd_math(pos, tri, out, dy, ddb, resolution, instance_mode,
         resolution, B, instance_mode, viewport=viewport)
 
 
-def _rasterize_bwd_cols(pos, tri, idf, dyx, dyy, ddb_cols, resolution, B,
-                        instance_mode, viewport=None):
-    """Vertex position gradients (re-derivation of rasterize.cu:119-273).
+def _raster_grad_pixel_cols(pos, tri, idf, dyx, dyy, ddb_cols, resolution,
+                            B, instance_mode, viewport=None):
+    """Per-pixel vertex-position gradient columns (rasterize.cu:119-273).
 
-    TPU-shaped data flow: per-pixel state lives in flat [N] SoA vectors
-    (no tiny trailing dims -> no tile-padding blowups), the per-triangle
-    vertex data is one row-gather from a [T(+1), 9] table, and the
-    pixel->vertex reduction is a two-level deterministic scatter
-    (pixels -> triangle table on the MXU, then triangles -> vertices).
-
-    Flat boundary: `idf` is the rast id channel [N]; `dyx`/`dyy` the
-    bary cotangents [N]; `ddb_cols` the 4 db cotangent columns or None.
+    The math of _rasterize_bwd_cols WITHOUT the final scatter: returns
+    (g [9, N] channel-major pixel gradients, rid [N] table rows with
+    invalid pixels routed to the dummy row R, R, T) so callers that
+    fuse several gradient streams into one MXU scatter (the textured
+    pipeline, ops/pipeline_tex.py) can merge these rows with theirs.
     """
-    from .scatter import scatter_add_by_id
-
     H, W = resolution
     enable_db = ddb_cols is not None
     T = tri.shape[0]
-    if instance_mode:
-        V = pos.shape[1]
-    else:
-        V = pos.shape[0]
     N = B * H * W
 
     # Per-triangle vertex table, channel-major: (x, y, w) x 3 vertices.
@@ -759,6 +750,31 @@ def _rasterize_bwd_cols(pos, tri, idf, dyx, dyy, ddb_cols, resolution, B,
     # NaN/Inf guard: masked lanes computed with dummy geometry.
     cols = [jnp.where(valid & jnp.isfinite(c), c, 0.0) for c in cols]
     g = jnp.stack(cols, axis=0)
+    return g, rid, R, T
+
+
+def _rasterize_bwd_cols(pos, tri, idf, dyx, dyy, ddb_cols, resolution, B,
+                        instance_mode, viewport=None):
+    """Vertex position gradients (re-derivation of rasterize.cu:119-273).
+
+    TPU-shaped data flow: per-pixel state lives in flat [N] SoA vectors
+    (no tiny trailing dims -> no tile-padding blowups), the per-triangle
+    vertex data is one row-gather from a [T(+1), 9] table, and the
+    pixel->vertex reduction is a two-level deterministic scatter
+    (pixels -> triangle table on the MXU, then triangles -> vertices).
+
+    Flat boundary: `idf` is the rast id channel [N]; `dyx`/`dyy` the
+    bary cotangents [N]; `ddb_cols` the 4 db cotangent columns or None.
+    """
+    from .scatter import scatter_add_by_id
+
+    g, rid, R, T = _raster_grad_pixel_cols(
+        pos, tri, idf, dyx, dyy, ddb_cols, resolution, B, instance_mode,
+        viewport)
+    if instance_mode:
+        V = pos.shape[1]
+    else:
+        V = pos.shape[0]
 
     # Level 1: pixels -> per-triangle gradient table (MXU one-hot).
     # Winner ids of nearby pixels index nearby triangles for any mesh
