@@ -34,7 +34,7 @@ def main():
         max_mip = 9
     else:
         th = tw = int(arg)
-        max_mip = -1
+        max_mip = None  # full chain (texture() requires None, not -1)
     print(f"backend: {jax.default_backend()}  tex {th}x{tw}  render "
           f"{RES}^2  tiled_ids={tp._TILED_IDS}", flush=True)
     rng = np.random.RandomState(0)

@@ -41,6 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 # A/B knob (benchmarks): address the gradient scatter with (8, 128)-
 # tiled apron ids (footprint-area id spans) vs row-major apron ids.
 _TILED_IDS = os.environ.get("NVDR_TILED_IDS", "1") != "0"
+# A/B knob: separable lattice scatter (ops/lattice_scatter.py) for the
+# wrt-tex gradient (single-texture pyramids) vs the generic windowed
+# one-hot scatter.
+_SEP_SCATTER = os.environ.get("NVDR_SEP_SCATTER", "1") != "0"
 
 LANE = 128
 TILE_H = 64  # image-tile rows per kernel block (x128 columns)
@@ -1088,49 +1092,61 @@ def _sample_bwd(meta, L, boundary_mode, filter_mode, shape, interpret,
         slots = ((l0, 1.0 - frac), (l1, frac))
     else:
         slots = ((l0, jnp.ones_like(frac)),)
-    # Per-pixel level geometry via tiny [L]-table gathers instead of an
-    # L-deep cascade of full-image lattice_setups (the cascade was
-    # 2L elementwise setups over every pixel — measurable XLA glue at
-    # 4M pixels x L=10).
-    eoff_a = jnp.asarray([e[0] for e in emeta_t], jnp.int32)
-    hl_a = jnp.asarray([e[1] for e in emeta_t], jnp.int32)
-    wl_a = jnp.asarray([e[2] for e in emeta_t], jnp.int32)
-    hep_a = jnp.asarray([e[3] for e in emeta_t], jnp.int32)
-    wep_a = jnp.asarray([e[4] for e in emeta_t], jnp.int32)
-    ids_parts = []
-    vals_parts = []
-    eoffr_a = jnp.asarray([e[0] for e in emeta], jnp.int32)
-    for lsel, lw in slots:
-        hl = jnp.take(hl_a, lsel)
-        wl = jnp.take(wl_a, lsel)
-        ju, jv, w4s = lattice_setup(ut, vt, hl, wl, boundary_mode)
-        dlw = dyt * lw[None, :]  # [C, Np]
-        if _TILED_IDS:
-            hep = jnp.take(hep_a, lsel)
-            wep = jnp.take(wep_a, lsel)
-            eoff_t = jnp.take(eoff_a, lsel)
-        else:
-            ws = wl + 2
-            eid0 = (jnp.take(eoffr_a, lsel) + tzt * ((hl + 2) * ws)
-                    + (jv + 1) * ws + (ju + 1))
-        for dv in (0, 1):  # cell row dv: corners (0, dv), (1, dv)
+
+    def generic_path():
+        # Per-pixel level geometry via tiny [L]-table gathers instead
+        # of an L-deep cascade of full-image lattice_setups (the
+        # cascade was 2L elementwise setups over every pixel —
+        # measurable XLA glue at 4M pixels x L=10).
+        eoff_a = jnp.asarray([e[0] for e in emeta_t], jnp.int32)
+        hl_a = jnp.asarray([e[1] for e in emeta_t], jnp.int32)
+        wl_a = jnp.asarray([e[2] for e in emeta_t], jnp.int32)
+        hep_a = jnp.asarray([e[3] for e in emeta_t], jnp.int32)
+        wep_a = jnp.asarray([e[4] for e in emeta_t], jnp.int32)
+        ids_parts = []
+        vals_parts = []
+        eoffr_a = jnp.asarray([e[0] for e in emeta], jnp.int32)
+        for lsel, lw in slots:
+            hl = jnp.take(hl_a, lsel)
+            wl = jnp.take(wl_a, lsel)
+            ju, jv, w4s = lattice_setup(ut, vt, hl, wl, boundary_mode)
+            dlw = dyt * lw[None, :]  # [C, Np]
             if _TILED_IDS:
-                ids_parts.append(tiled_apron_id(eoff_t, hep, wep, tzt,
-                                                jv + 1 + dv, ju + 1))
+                hep = jnp.take(hep_a, lsel)
+                wep = jnp.take(wep_a, lsel)
+                eoff_t = jnp.take(eoff_a, lsel)
             else:
-                ids_parts.append(eid0 + dv * ws)
-            vals_parts.append(jnp.concatenate(
-                [dlw * w4s[2 * dv][None], dlw * w4s[2 * dv + 1][None]],
-                axis=0))  # [2C, Np], du-major
-    g_ext_t = scatter_add_by_id(
-        jnp.concatenate(ids_parts), jnp.concatenate(vals_parts, axis=-1),
-        NTe_t if _TILED_IDS else NTe, coherent=True,
-        p_chunk=_SCAT_P_CHUNK).T  # [2C, rows] (tile-ordered -> sorted-ish)
-    if _TILED_IDS:
-        g_ext = untile_ext_grad(g_ext_t, emeta_t, L, B_tex)
+                ws = wl + 2
+                eid0 = (jnp.take(eoffr_a, lsel) + tzt * ((hl + 2) * ws)
+                        + (jv + 1) * ws + (ju + 1))
+            for dv in (0, 1):  # cell row dv: corners (0, dv), (1, dv)
+                if _TILED_IDS:
+                    ids_parts.append(tiled_apron_id(eoff_t, hep, wep, tzt,
+                                                    jv + 1 + dv, ju + 1))
+                else:
+                    ids_parts.append(eid0 + dv * ws)
+                vals_parts.append(jnp.concatenate(
+                    [dlw * w4s[2 * dv][None], dlw * w4s[2 * dv + 1][None]],
+                    axis=0))  # [2C, Np], du-major
+        g_ext_t = scatter_add_by_id(
+            jnp.concatenate(ids_parts),
+            jnp.concatenate(vals_parts, axis=-1),
+            NTe_t if _TILED_IDS else NTe, coherent=True,
+            p_chunk=_SCAT_P_CHUNK).T  # [2C, rows]
+        if _TILED_IDS:
+            g_ext = untile_ext_grad(g_ext_t, emeta_t, L, B_tex)
+        else:
+            g_ext = g_ext_t
+        return fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C)
+
+    if _SEP_SCATTER and B_tex == 1 and _TILED_IDS:
+        from .lattice_scatter import lattice_scatter_grad
+
+        g_flat = lattice_scatter_grad(
+            ut, vt, dyt, slots, emeta_t, meta, L, boundary_mode, C,
+            generic_path, interpret=interpret)
     else:
-        g_ext = g_ext_t
-    g_flat = fold_ext_grad(g_ext, meta, L, B_tex, boundary_mode, C)
+        g_flat = generic_path()
 
     return (g_flat, gu, gv, gfl, None)
 

@@ -358,3 +358,52 @@ def test_earth_atlas_mip_rule_and_parity_interpret():
                      boundary_mode="wrap", max_mip_level=7, impl="xla")
     np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_separable_lattice_scatter_matches_generic():
+    """The separable lattice scatter (ops/lattice_scatter.py) produces
+    the same wrt-tex gradient as the generic windowed one-hot scatter
+    for every boundary mode, including mixed mip levels and
+    out-of-texture uvs. Its f32 MXU accumulation differs from the
+    generic path's bf16 hi/lo split at ~2^-16 per addend."""
+    from nvdiffrast_tpu.ops import texture_pallas as tp
+    from nvdiffrast_tpu.ops.texture import (_pack_pyramid, _static_meta,
+                                            build_mip_stack)
+
+    rng = np.random.RandomState(3)
+    B, H, W = 1, 40, 72
+    N = B * H * W
+    tex = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    # uvs spanning outside [0, 1] + a strong minification gradient so
+    # both mip slots and several levels are live.
+    uv = jnp.asarray(rng.uniform(-0.3, 1.3, (N, 2)).astype(np.float32))
+    lvl = jnp.asarray(
+        np.linspace(0.0, 4.0, N).astype(np.float32))
+    dy = jnp.asarray(rng.randn(3, N).astype(np.float32))
+
+    levels = [tex] + build_mip_stack(tex, -1, False)
+    smeta, _ = _static_meta(levels)
+    L = len(levels)
+    flat, _ = _pack_pyramid(levels, False)
+    tz = jnp.zeros((N,), jnp.int32)
+
+    for bm in ("wrap", "clamp", "zero"):
+        old = tp._SEP_SCATTER
+        try:
+            grads = {}
+            for sep in (False, True):
+                tp._SEP_SCATTER = sep
+                _, vjp = jax.vjp(
+                    lambda f: tp.sample_fused(
+                        f, uv[:, 0], uv[:, 1], lvl, tz, smeta, L, bm,
+                        "linear-mipmap-linear", (B, H, W),
+                        interpret=True),
+                    flat.T)
+                (g,) = vjp(dy)
+                grads[sep] = np.asarray(g)
+        finally:
+            tp._SEP_SCATTER = old
+        a, b = grads[False], grads[True]
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() <= 1e-4 * scale, bm
+        assert np.abs(b).sum() > 0, bm
