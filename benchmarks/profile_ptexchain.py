@@ -98,7 +98,7 @@ def main():
     names = ["raster(db)", "+interp", "+tex fwd_stash", "+AA fwd"]
     prev = 0.0
     for lv in range(4):
-        f = jax.jit(lambda p, t, lv=lv: fwd_stage(lv, p, t))
+        f = jax.jit(lambda p, t, lv=lv: (fwd_stage(lv, p, t),))
         dt = _measure(f, [(p, tex) for p in pcs]) * 1e3
         print(f"fwd {names[lv]:18s} cum {dt:7.2f}  marg {dt - prev:7.2f}",
               flush=True)

@@ -35,7 +35,7 @@ Reference analog: TextureGradKernel's per-corner caAtomicAdd
 (csrc/common/texture_kernel.cu:905-1154) — same math, atomics-free.
 """
 
-import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,10 +49,22 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-# Pixels per pair chunk. 2048 tile-major pixels = a 16x128 image patch:
-# compact texel footprint (1-4 tiles at matched mip) while the matmul
-# [8C, 2048] x [2048, 128] still amortizes the MXU.
-_P_PAIR = 2048
+# Pixels per pair chunk. Tile-major pixels form compact image patches
+# (P=2048 -> 16x128 px, P=4096 -> 32x128). On-chip A/B
+# (benchmarks/results_r5.md): minified sampling (few texel tiles) wins
+# at 4096 (512^2 f+b 36.4 -> 33.9 ms — fewer per-pair fixed costs);
+# magnified sampling (earth atlas, tile count >> chunk count) wins at
+# 2048 (166.8 vs 172.9 — bigger chunks span more tiles each).
+# _pick_p chooses statically from the tile/chunk ratio; env overrides.
+_P_PAIR = int(os.environ.get("NVDR_SEP_P", "0"))
+
+
+def _pick_p(n_tiles, total_px):
+    if _P_PAIR:
+        return _P_PAIR
+    return 2048 if n_tiles * 4096 > total_px else 4096
+
+
 # Pair-list capacity: 6 tiles per chunk covers minified sampling
 # (16x128 px patches straddle <= 2x2 texel tiles per live level), and
 # the n_tiles term covers magnification (earth-atlas level-0 chunks
@@ -165,10 +177,9 @@ def _pairs_from_bbox(trlo, trhi, tclo, tchi, any_live, wt_cl, tile_off_cl,
 
 
 def _sep_kernel_call(ptile, pchunk_s, ints3, wts4, dyt, lev_tab,
-                     C, n_tiles, n_levels, nc, interpret):
+                     C, n_tiles, n_levels, nc, P, interpret):
     """The pair-list kernel: one matmul per (tile, chunk) pair."""
     n_pairs = ptile.shape[0]
-    P = _P_PAIR
 
     def kernel(ptile_ref, pchunk_ref, ltab_ref, ints_ref,
                wts_ref, dy_ref, _zero_ref, out_ref):
@@ -281,16 +292,17 @@ def lattice_scatter_grad(ut, vt, dyt, slots, emeta_t, meta, L,
     """
     Np = ut.shape[0]
     n_slots = len(slots)
-    nc = _cdiv(Np, _P_PAIR)
-    Npp = nc * _P_PAIR
+    n_tiles = (emeta_t[-1][0] >> 10) + ((emeta_t[-1][3] * emeta_t[-1][4])
+                                        >> 10)
+    P = _pick_p(n_tiles, Np * n_slots)
+    nc = _cdiv(Np, P)
+    Npp = nc * P
 
     hl_a = jnp.asarray([e[1] for e in emeta_t], jnp.int32)
     wl_a = jnp.asarray([e[2] for e in emeta_t], jnp.int32)
     wep_a = jnp.asarray([e[4] for e in emeta_t], jnp.int32)
     toff_a = jnp.asarray([e[0] >> 10 for e in emeta_t], jnp.int32)
     wt_a = jnp.asarray([e[4] >> 7 for e in emeta_t], jnp.int32)
-    n_tiles = (emeta_t[-1][0] >> 10) + ((emeta_t[-1][3] * emeta_t[-1][4])
-                                        >> 10)
 
     def padP(x, fill=0):
         if Npp != Np:
@@ -310,7 +322,7 @@ def lattice_scatter_grad(ut, vt, dyt, slots, emeta_t, meta, L,
         ints_s.append(jnp.stack([jvn, jun, base_t]))
         wts_s.append(jnp.stack([lw * vw0, lw * vw1, uw0, uw1]))
         lsel_s.append(lsel)
-    # Pad each slot's stream so chunk boundaries align with _P_PAIR.
+    # Pad each slot's stream so chunk boundaries align with P.
     ints3 = jnp.concatenate([padP(a) for a in ints_s], axis=-1)
     wts4 = jnp.concatenate([padP(a) for a in wts_s], axis=-1)
     lsel_f = jnp.concatenate([padP(a[None], fill=-1)[0]
@@ -319,9 +331,9 @@ def lattice_scatter_grad(ut, vt, dyt, slots, emeta_t, meta, L,
 
     # Per-(chunk, level) tile bounding boxes (superset-safe).
     nct = n_slots * nc
-    jvn_f = ints3[0].reshape(nct, _P_PAIR)
-    jun_f = ints3[1].reshape(nct, _P_PAIR)
-    lsel_c = lsel_f.reshape(nct, _P_PAIR)
+    jvn_f = ints3[0].reshape(nct, P)
+    jun_f = ints3[1].reshape(nct, P)
+    lsel_c = lsel_f.reshape(nct, P)
     big = jnp.int32(1 << 30)
     trlo_l = []
     trhi_l = []
@@ -359,7 +371,7 @@ def lattice_scatter_grad(ut, vt, dyt, slots, emeta_t, meta, L,
 
     def sep_path(_):
         g_t = _sep_kernel_call(ptile, pchunk, ints3, wts4, dyt_p,
-                               lev_tab, C, n_tiles, L, nc, interpret)
+                               lev_tab, C, n_tiles, L, nc, P, interpret)
         # tiled [C, n_tiles*8, 128] -> row-major apron -> fold.
         from .texture_pallas import untile_ext_grad
         B_tex = 1
